@@ -1,0 +1,85 @@
+"""Benchmark harness — headline metric for the driver.
+
+Headline (BASELINE.json): batched N=2^14 native64 negacyclic polynomial
+multiplications per second per chip.
+
+Methodology: the axon tunnel's block_until_ready does not synchronize and
+host readbacks carry ~28 ms of round-trip latency, so throughput is measured
+with on-device `lax.scan` chains of K and 1 steps, each synced by a 4-byte
+reduced readback; per-step time = (t_K - t_1)/(K - 1), which cancels the
+RTT and dispatch overhead exactly.
+
+Baseline: the reference publishes no absolute numbers (BASELINE.md); the
+per-core AVX512 estimate below is derived from the reference's operation
+count (10 prime32 NTTs of n=2^14 + pointwise + reconstruction per product)
+at hpc7a-class clocks (≈350 µs/product → ≈2.9k/s/core). Recorded as an
+estimate until the Rust benches can be run (no Rust toolchain in image).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_POLYMUL_PER_SEC = 2900.0
+
+N = 1 << 14
+BATCH = 16
+K = 32
+
+
+def _timed(fn, *args, reps=3):
+    _ = np.asarray(fn(*args))  # compile + sync
+    best = float("inf")
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from concrete_ntt_tpu import native64
+    from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
+
+    plan = native64.Plan32.try_new(N)
+    assert plan is not None
+
+    rng = np.random.default_rng(0)
+    lhs = jnp.asarray(np_u64_to_limbs(rng.integers(0, 1 << 64, (BATCH, N), dtype=np.uint64)))
+    rhs = jnp.asarray(np_u64_to_limbs(rng.integers(0, 1 << 64, (BATCH, N), dtype=np.uint64)))
+
+    def chain(k):
+        def fn(a, b):
+            def body(c, _):
+                return plan.negacyclic_polymul(c, b), None
+
+            c, _ = jax.lax.scan(body, a, None, length=k)
+            return jnp.sum(c, dtype=jnp.uint32)
+
+        return jax.jit(fn)
+
+    t_k = _timed(chain(K), lhs, rhs)
+    t_1 = _timed(chain(1), lhs, rhs)
+    per_step = max(t_k - t_1, 1e-9) / (K - 1)
+    per_sec = BATCH / per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "native64_polymul_n2^14_per_sec_per_chip",
+                "value": round(per_sec, 2),
+                "unit": "polymul/s",
+                "vs_baseline": round(per_sec / BASELINE_POLYMUL_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ on TPU we use an explicit select (`cond_sub`) — SURVEY.md §7 hard part 1.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .u32 import cond_sub, mont_mul, shoup_mul_lazy
 
@@ -31,16 +32,16 @@ def make_fwd_lt30(p: int):
 
     def butterfly(z0, z1, w):
         (x0,), (x1,), (wv, ws) = z0, z1, w
-        x0 = cond_sub(x0, jnp.uint32(two_p))  # [0,4p) -> [0,2p)
+        x0 = cond_sub(x0, np.uint32(two_p))  # [0,4p) -> [0,2p)
         t = shoup_mul_lazy(x1, wv, ws, p)  # [0,2p)
-        return (x0 + t,), (x0 - t + jnp.uint32(two_p),)  # both [0,4p)
+        return (x0 + t,), (x0 - t + np.uint32(two_p),)  # both [0,4p)
 
     def last_butterfly(z0, z1, w):
         (x0,), (x1,), (wv, ws) = z0, z1, w
-        x0 = cond_sub(cond_sub(x0, jnp.uint32(two_p)), jnp.uint32(p))  # [0,p)
-        t = cond_sub(shoup_mul_lazy(x1, wv, ws, p), jnp.uint32(p))  # [0,p)
-        y0 = cond_sub(x0 + t, jnp.uint32(p))
-        y1 = cond_sub(x0 - t + jnp.uint32(p), jnp.uint32(p))
+        x0 = cond_sub(cond_sub(x0, np.uint32(two_p)), np.uint32(p))  # [0,p)
+        t = cond_sub(shoup_mul_lazy(x1, wv, ws, p), np.uint32(p))  # [0,p)
+        y0 = cond_sub(x0 + t, np.uint32(p))
+        y1 = cond_sub(x0 - t + np.uint32(p), np.uint32(p))
         return (y0,), (y1,)
 
     return butterfly, last_butterfly
@@ -53,17 +54,17 @@ def make_inv_lt30(p: int):
         # Inputs in [0,2p): y0 = (z0+z1) reduced to [0,2p);
         # y1 = (z0-z1+2p)·w via Shoup, lazy [0,2p)  (less_than_30bit.rs:265-282).
         (x0,), (x1,), (wv, ws) = z0, z1, w
-        y0 = cond_sub(x0 + x1, jnp.uint32(two_p))
-        t = x0 - x1 + jnp.uint32(two_p)  # [0,4p) < 2^32
+        y0 = cond_sub(x0 + x1, np.uint32(two_p))
+        t = x0 - x1 + np.uint32(two_p)  # [0,4p) < 2^32
         y1 = shoup_mul_lazy(t, wv, ws, p)
         return (y0,), (y1,)
 
     def last_butterfly(z0, z1, w):
         (x0,), (x1,), (wv, ws) = z0, z1, w
-        y0 = cond_sub(x0 + x1, jnp.uint32(two_p))
-        t = x0 - x1 + jnp.uint32(two_p)
+        y0 = cond_sub(x0 + x1, np.uint32(two_p))
+        t = x0 - x1 + np.uint32(two_p)
         y1 = shoup_mul_lazy(t, wv, ws, p)
-        return (cond_sub(y0, jnp.uint32(p)),), (cond_sub(y1, jnp.uint32(p)),)
+        return (cond_sub(y0, np.uint32(p)),), (cond_sub(y1, np.uint32(p)),)
 
     return butterfly, last_butterfly
 
@@ -73,13 +74,13 @@ def make_fwd_lt31(p: int):
 
     def butterfly(z0, z1, w):
         (x0,), (x1,), (wv, ws) = z0, z1, w
-        x0 = cond_sub(x0, jnp.uint32(p))  # [0,2p) -> [0,p)
-        t = cond_sub(shoup_mul_lazy(x1, wv, ws, p), jnp.uint32(p))  # [0,p)
-        return (x0 + t,), (x0 - t + jnp.uint32(p),)  # both [0,2p)
+        x0 = cond_sub(x0, np.uint32(p))  # [0,2p) -> [0,p)
+        t = cond_sub(shoup_mul_lazy(x1, wv, ws, p), np.uint32(p))  # [0,p)
+        return (x0 + t,), (x0 - t + np.uint32(p),)  # both [0,2p)
 
     def last_butterfly(z0, z1, w):
         (y0,), (y1,) = butterfly(z0, z1, w)
-        return (cond_sub(y0, jnp.uint32(p)),), (cond_sub(y1, jnp.uint32(p)),)
+        return (cond_sub(y0, np.uint32(p)),), (cond_sub(y1, np.uint32(p)),)
 
     return butterfly, last_butterfly
 
@@ -88,9 +89,9 @@ def make_inv_lt31(p: int):
     def butterfly(z0, z1, w):
         # Inputs in [0,p): y0 = cond_sub(z0+z1), y1 = (z0-z1+p)·w canonical.
         (x0,), (x1,), (wv, ws) = z0, z1, w
-        y0 = cond_sub(x0 + x1, jnp.uint32(p))
-        t = x0 - x1 + jnp.uint32(p)  # [0,2p) < 2^32
-        y1 = cond_sub(shoup_mul_lazy(t, wv, ws, p), jnp.uint32(p))
+        y0 = cond_sub(x0 + x1, np.uint32(p))
+        t = x0 - x1 + np.uint32(p)  # [0,2p) < 2^32
+        y1 = cond_sub(shoup_mul_lazy(t, wv, ws, p), np.uint32(p))
         return (y0,), (y1,)
 
     return butterfly, butterfly  # already canonical per stage
@@ -107,8 +108,8 @@ def make_fwd_generic32(p: int, p_neginv: int):
         t = mont_mul(x1, wm, p, p_neginv)
         y0 = x0 + t
         ovf = y0 < x0
-        y0 = jnp.where(ovf, y0 - jnp.uint32(p), cond_sub(y0, jnp.uint32(p)))
-        y1 = jnp.where(x0 >= t, x0 - t, x0 - t + jnp.uint32(p))
+        y0 = jnp.where(ovf, y0 - np.uint32(p), cond_sub(y0, np.uint32(p)))
+        y1 = jnp.where(x0 >= t, x0 - t, x0 - t + np.uint32(p))
         return (y0,), (y1,)
 
     return butterfly, butterfly
@@ -119,8 +120,8 @@ def make_inv_generic32(p: int, p_neginv: int):
         (x0,), (x1,), (wm,) = z0, z1, w
         s = x0 + x1
         ovf = s < x0
-        y0 = jnp.where(ovf, s - jnp.uint32(p), cond_sub(s, jnp.uint32(p)))
-        d = jnp.where(x0 >= x1, x0 - x1, x0 - x1 + jnp.uint32(p))
+        y0 = jnp.where(ovf, s - np.uint32(p), cond_sub(s, np.uint32(p)))
+        d = jnp.where(x0 >= x1, x0 - x1, x0 - x1 + np.uint32(p))
         y1 = mont_mul(d, wm, p, p_neginv)
         return (y0,), (y1,)
 

@@ -25,9 +25,10 @@ Modular-multiplication strategies (mirroring the reference's regimes):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 
 
 def u32(x) -> jnp.ndarray:
@@ -71,7 +72,7 @@ def mulwide_u32(a, b):
 
 def cond_sub(x, m):
     """x - m if x >= m else x (single lazy-reduction step)."""
-    m = jnp.uint32(m) if not hasattr(m, "dtype") else m
+    m = np.uint32(m) if not hasattr(m, "dtype") else m
     return jnp.where(x >= m, x - m, x)
 
 
@@ -81,13 +82,13 @@ def add_mod(a, b, p):
     ovf = s < a
     # On overflow the true sum is s + 2^32 ∈ [2^32, 2p) → subtract p once
     # (2^32 - p added modularly); otherwise a single conditional subtract.
-    return jnp.where(ovf, s - jnp.uint32(p), cond_sub(s, jnp.uint32(p)))
+    return jnp.where(ovf, s - np.uint32(p), cond_sub(s, np.uint32(p)))
 
 
 def sub_mod(a, b, p):
     """(a - b) mod p for a, b in [0, p)."""
     d = a - b
-    return jnp.where(a >= b, d, d + jnp.uint32(p))
+    return jnp.where(a >= b, d, d + np.uint32(p))
 
 
 # ---------------------------------------------------------------------------
@@ -103,12 +104,12 @@ def shoup_mul_lazy(z, w, w_shoup, p):
     t = z*w - ⌊z*w_shoup / 2^32⌋*p, all wrapping.
     """
     q = mulhi_u32(z, w_shoup)
-    return z * w - q * jnp.uint32(p)
+    return z * w - q * np.uint32(p)
 
 
 def shoup_mul(z, w, w_shoup, p):
     """z*w mod p, canonical [0, p)."""
-    return cond_sub(shoup_mul_lazy(z, w, w_shoup, p), jnp.uint32(p))
+    return cond_sub(shoup_mul_lazy(z, w, w_shoup, p), np.uint32(p))
 
 
 # ---------------------------------------------------------------------------
@@ -129,15 +130,15 @@ def mont_mul(a, b, p, p_neginv):
     (where intermediate [0, 2p) would overflow u32).
     """
     lo, hi = mulwide_u32(a, b)
-    m = lo * jnp.uint32(p_neginv)
-    mp_hi = mulhi_u32(m, jnp.uint32(p))
+    m = lo * np.uint32(p_neginv)
+    mp_hi = mulhi_u32(m, np.uint32(p))
     carry = (lo != 0).astype(jnp.uint32)  # lo(ab)+lo(mp) is 0 or exactly 2^32
     t = hi + mp_hi
     ovf = t < hi
     s = t + carry
     ovf = ovf | (s < t)
     # true r = s (+ 2^32 if ovf) ∈ [0, 2p); reduce to [0, p).
-    return jnp.where(ovf, s - jnp.uint32(p), cond_sub(s, jnp.uint32(p)))
+    return jnp.where(ovf, s - np.uint32(p), cond_sub(s, np.uint32(p)))
 
 
 def to_mont(x: int, p: int) -> int:
@@ -155,10 +156,10 @@ def reduce_u32_mod(x, p: int, m_barrett: int):
 
     q = ⌊x·m/2^32⌋ underestimates x/p by at most 2 → two conditional subtracts.
     """
-    q = mulhi_u32(x, jnp.uint32(m_barrett))
-    r = x - q * jnp.uint32(p)
-    r = cond_sub(r, jnp.uint32(2 * p))
-    return cond_sub(r, jnp.uint32(p))
+    q = mulhi_u32(x, np.uint32(m_barrett))
+    r = x - q * np.uint32(p)
+    r = cond_sub(r, np.uint32(2 * p))
+    return cond_sub(r, np.uint32(p))
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +205,7 @@ def cond_sub64(x, m):
 def const64_like(v: int, ref=None):
     """Broadcastable (lo, hi) uint32 scalar pair from a python int."""
     del ref  # scalars broadcast against any shape
-    return jnp.uint32(v & 0xFFFFFFFF), jnp.uint32((v >> 32) & 0xFFFFFFFF)
+    return np.uint32(v & 0xFFFFFFFF), np.uint32((v >> 32) & 0xFFFFFFFF)
 
 
 def mullo64(a, b):
@@ -251,6 +252,208 @@ def mul64_u32(a, b32):
     a_lo, a_hi = a
     lo, hi = mulwide_u32(a_lo, b32)
     return lo, hi + a_hi * b32
+
+
+def add64c(a, b):
+    """Wrapping 64-bit add returning (sum_pair, carry_out as uint32 0/1)."""
+    a_lo, a_hi = a
+    b_lo, b_hi = b
+    lo = a_lo + b_lo
+    c0 = (lo < a_lo).astype(jnp.uint32)
+    hi = a_hi + b_hi
+    c1 = (hi < a_hi).astype(jnp.uint32)
+    hi2 = hi + c0
+    c2 = (hi2 < hi).astype(jnp.uint32)
+    return (lo, hi2), c1 | c2
+
+
+def sub64b(a, b):
+    """Wrapping 64-bit subtract returning (diff_pair, borrow_out as bool)."""
+    a_lo, a_hi = a
+    b_lo, b_hi = b
+    borrow = (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+    return sub64(a, b), borrow
+
+
+def add_mod64(a, b, p: int):
+    """(a + b) mod p for limb pairs in [0, p), any p < 2^64."""
+    s, carry = add64c(a, b)
+    neg_p = const64_like((1 << 64) - p)
+    over = carry.astype(bool)
+    reduced = cond_sub64(s, p)
+    wrapped = add64(s, neg_p)
+    return select64(over, wrapped, reduced)
+
+
+def sub_mod64(a, b, p: int):
+    """(a - b) mod p for limb pairs in [0, p)."""
+    d, borrow = sub64b(a, b)
+    return select64(borrow, add64(d, const64_like(p)), d)
+
+
+def mont_neginv64(p: int) -> int:
+    """-p^{-1} mod 2^64 (host-side; p odd)."""
+    return (-pow(p, -1, 1 << 64)) % (1 << 64)
+
+
+def mont_mul64(a, b, p: int, p_neginv: int):
+    """a·b·2^{-64} mod p, canonical [0, p), for any odd p < 2^64 (REDC).
+
+    Replaces the reference's u256-reciprocal generic multiplication
+    (generic_solinas.rs:42-75) — same canonical result, limb-friendly.
+    """
+    l0, l1, l2, l3 = mulwide64(a, b)
+    t_lo = (l0, l1)
+    t_hi = (l2, l3)
+    m = mullo64(t_lo, const64_like(p_neginv))
+    mp_hi = mulhi64(m, const64_like(p))
+    # low 64 bits of T + m·p are zero; carry out iff T_lo != 0.
+    carry = ((l0 != 0) | (l1 != 0)).astype(jnp.uint32)
+    s, c1 = add64c(t_hi, mp_hi)
+    s2, c2 = add64c(s, (carry, np.uint32(0)))
+    over = (c1 | c2).astype(bool)
+    neg_p = const64_like((1 << 64) - p)
+    return select64(over, add64(s2, neg_p), cond_sub64(s2, p))
+
+
+def shoup_mul_lazy64(z, w, w_shoup, p: int):
+    """t ≡ z·w (mod p), t in [0, 2p), for z < 2^64, w < p < 2^63 (limb pairs)."""
+    q = mulhi64(z, w_shoup)
+    return sub64(mullo64(z, w), mullo64(q, const64_like(p)))
+
+
+# ---------------------------------------------------------------------------
+# Generic N-limb arithmetic (u128 and mixed-width products; wrapping)
+# ---------------------------------------------------------------------------
+
+
+def add_limbs(a: tuple, b: tuple) -> tuple:
+    """Wrapping multi-limb add (lengths must match; final carry dropped)."""
+    assert len(a) == len(b)
+    out = []
+    carry = None
+    for x, y in zip(a, b):
+        s = x + y
+        c0 = (s < x).astype(jnp.uint32)
+        if carry is not None:
+            s2 = s + carry
+            c0 = c0 | (s2 < s).astype(jnp.uint32)
+            s = s2
+        out.append(s)
+        carry = c0
+    return tuple(out)
+
+
+def sub_limbs(a: tuple, b: tuple) -> tuple:
+    """Wrapping multi-limb subtract."""
+    assert len(a) == len(b)
+    out = []
+    borrow = None
+    for x, y in zip(a, b):
+        d = x - y
+        b0 = (x < y).astype(jnp.uint32)
+        if borrow is not None:
+            d2 = d - borrow
+            b0 = b0 | (d < borrow).astype(jnp.uint32)
+            d = d2
+        out.append(d)
+        borrow = b0
+    return tuple(out)
+
+
+def mullo_limbs(a: tuple, b: tuple, out_len: int) -> tuple:
+    """Low `out_len` limbs of the product of limb tuples a and b (wrapping).
+
+    Schoolbook with full carry propagation; all partials are 32x32→64 via
+    mulwide_u32. Used for u128 Horner evaluation in CRT reconstruction.
+    """
+    acc = [None] * out_len  # per-position lists to sum with carries
+
+    def add_at(pos: int, val):
+        # add uint32 val into limb `pos`, propagating carries upward
+        while pos < out_len:
+            if acc[pos] is None:
+                acc[pos] = val
+                return
+            s = acc[pos] + val
+            carry = (s < val).astype(jnp.uint32)
+            acc[pos] = s
+            if pos + 1 >= out_len:
+                return
+            val = carry
+            pos += 1
+            # fast exit when no carry possible is skipped; carries are cheap
+
+    for i, x in enumerate(a):
+        if i >= out_len:
+            break
+        for j, y in enumerate(b):
+            k = i + j
+            if k >= out_len:
+                break
+            lo, hi = mulwide_u32(x, y)
+            add_at(k, lo)
+            if k + 1 < out_len:
+                add_at(k + 1, hi)
+    zero = jnp.zeros_like(a[0])
+    return tuple(v if v is not None else zero for v in acc)
+
+
+def geq_limbs(a: tuple, b: tuple):
+    """a >= b for equal-length limb tuples."""
+    assert len(a) == len(b)
+    res = a[0] >= b[0]
+    for x, y in zip(a[1:], b[1:]):
+        res = (x > y) | ((x == y) & res)
+    return res
+
+
+def select_limbs(c, a: tuple, b: tuple) -> tuple:
+    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+
+
+def const_limbs(v: int, length: int) -> tuple:
+    return tuple(np.uint32((v >> (32 * k)) & 0xFFFFFFFF) for k in range(length))
+
+
+# ---------------------------------------------------------------------------
+# Goldilocks prime p = 2^64 - 2^32 + 1 (reference: prime64::Solinas,
+# generic_solinas.rs:103-128). With φ = 2^32: 2^64 ≡ φ-1, 2^96 ≡ -1,
+# so a 128-bit product (l0,l1,l2,l3) reduces with shifts/adds only.
+# ---------------------------------------------------------------------------
+
+GOLDILOCKS_P = (1 << 64) - (1 << 32) + 1
+_PHI_M1 = np.uint32(0xFFFFFFFF)  # φ - 1 low limb
+
+
+def gl_reduce128(l0, l1, l2, l3):
+    """Reduce 4-limb value mod Goldilocks to canonical [0, p)."""
+    lo64 = (l0, l1)
+    # t0 = lo64 - l3  (mod p): on borrow the wrapped value is ≡ +.(φ-1) high,
+    # subtract φ-1 to compensate for the -2^64.
+    t0, b1 = sub64b(lo64, (l3, np.uint32(0)))
+    t0 = select64(b1, sub64(t0, (_PHI_M1, np.uint32(0))), t0)
+    # t1 = l2·(φ-1) = (l2 << 32) - l2, exact in 64 bits.
+    t1 = sub64((np.uint32(0), l2), (l2, np.uint32(0)))
+    t2, c2 = add64c(t0, t1)
+    t2 = select64(c2.astype(bool), add64(t2, (_PHI_M1, np.uint32(0))), t2)
+    return cond_sub64(t2, GOLDILOCKS_P)
+
+
+def gl_mul(a, b):
+    """a·b mod Goldilocks, canonical, limb pairs (a, b < 2^64 arbitrary)."""
+    l0, l1, l2, l3 = mulwide64(a, b)
+    return gl_reduce128(l0, l1, l2, l3)
+
+
+def gl_add(a, b):
+    """(a + b) mod Goldilocks for a, b in [0, p)."""
+    return add_mod64(a, b, GOLDILOCKS_P)
+
+
+def gl_sub(a, b):
+    """(a - b) mod Goldilocks for a, b in [0, p)."""
+    return sub_mod64(a, b, GOLDILOCKS_P)
 
 
 # ---------------------------------------------------------------------------
