@@ -27,10 +27,10 @@ BASELINE_POLYMUL_PER_SEC = 2900.0
 
 N = 1 << 14
 BATCH = 16
-K = 32
+K = 128  # >= ~35 ms of on-device work so tunnel RTT jitter (~ms) cancels
 
 
-def _timed(fn, *args, reps=3):
+def _timed(fn, *args, reps=5):
     _ = np.asarray(fn(*args))  # compile + sync
     best = float("inf")
     for _i in range(reps):
@@ -56,10 +56,13 @@ def main():
 
     def chain(k):
         def fn(a, b):
-            def body(c, _):
-                return plan.negacyclic_polymul(c, b), None
+            # two-element carry so BOTH operands are fresh every step — no
+            # loop-invariant fwd() for XLA to hoist out of the scan
+            def body(carry, _):
+                c, d = carry
+                return (plan.negacyclic_polymul(c, d), c), None
 
-            c, _ = jax.lax.scan(body, a, None, length=k)
+            (c, _), _ = jax.lax.scan(body, (a, b), None, length=k)
             return jnp.sum(c, dtype=jnp.uint32)
 
         return jax.jit(fn)

@@ -147,10 +147,16 @@ class NativePlanBase:
     def fwd(self, x):
         """value array [..., n] → NTT-domain residues [k, ..., n(, 2)]."""
         parts, lead, _ = _marshal_in(x, self.width, self.n)
-        residues = self._split(parts)
-        residues = [
-            self._plan_io(plan, r, "fwd") for plan, r in zip(self.plans, residues)
-        ]
+        residues = None
+        if self.tier == "plan32":
+            from .ops import ntt_dispatch
+
+            residues = ntt_dispatch.try_fwd32_wide_all(parts, self.plans)
+        if residues is None:
+            residues = self._split(parts)
+            residues = [
+                self._plan_io(plan, r, "fwd") for plan, r in zip(self.plans, residues)
+            ]
         out = self._stack(residues)
         trail = out.shape[2:]
         return out.reshape(len(self.primes), *lead, *trail)

@@ -1,0 +1,458 @@
+"""MXU (int8 systolic-array) four-step engine for the prime32 NTT.
+
+Motivation (measured on TPU v5e): the VPU butterfly engine is bound by
+`mulhi_u32` (a 16-bit-split high multiply, ~16 VPU ops), paying one per
+butterfly per stage — 14 high-multiply sweeps for n = 2^14. The MXU, by
+contrast, sustains ~430 int8 TOP/s. This engine moves the O(n log n)
+multiply work onto the MXU by collapsing the stage loop into two modular
+matrix products (the classical four-step/Bailey factorization, here derived
+directly from the reference's stage structure so outputs are bit-identical
+to the stage engine and therefore to the Rust reference):
+
+  * stages [0, k)        — mix only rows of the [n1, n2] view (n1 = 2^k)
+    and use row-only twiddle indices, so they form ONE shared n1 x n1
+    matrix A applied to every column;
+  * stages [k, log2 n)   — act within rows; row r's operator factors as
+    B_r = F * diag(d_r) with a SHARED n2 x n2 matrix F (the decimation
+    identity behind the four-step twiddle correction), so the pass is one
+    elementwise Shoup multiply by the [n1, n2] table d plus one shared
+    matmul. The inverse engine mirrors this: C_r = diag(e_r) * G, then the
+    shared n1 x n1 column matrix A_inv.
+
+Exact modular matmul on an int8 MXU: operand x (any u32 representative of
+the residue) is split into four unsigned radix-2^8 digit planes (shifted to
+int8 by -128); the matrix M is pre-multiplied by 2^(8e) mod p for each
+operand digit e, centered to (-p/2, p/2], and balanced-digit decomposed into
+four int8 planes each. Grouping by matrix digit d gives four int8
+contractions S_d = sum_e x_e . (2^(8e) M mod p)_d whose int32 accumulators
+stay exact (|acc| < 2^26), and the result is recombined as
+sum_d S_d 2^(8d) — a 52-bit value reduced with ONE Shoup high-multiply.
+The -128 shift and the sign offsets fold into per-output additive constants
+computed at plan-build time.
+
+The matrices A, F, d, G, e, A_inv are built numerically by running the
+exact host stage engine (golden semantics) on basis vectors, with the
+factorization properties asserted — no re-derivation of twiddle algebra is
+trusted without a bit-exactness check at build time.
+
+Reference parity anchors: stage structure fwd_breadth_first_scalar
+(prime32/shoup.rs:582-636), inv (shoup.rs:1355-1408); twiddle tables
+(prime32.rs:223-246). The reference's cache-blocking recursion
+(RECURSION_THRESHOLD, prime32.rs:12) is replaced by this matmul
+factorization — the idiomatic TPU locality mechanism.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .u32 import shoup_mul_lazy
+
+_MIN_P = 1 << 26  # below this the cond-sub reduction chains get long; use VPU path
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact stage engine (numpy uint64) for building the matrices
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stage_range(data: np.ndarray, twid: np.ndarray, p: int, s0: int, s1: int):
+    """Run forward CT stages [s0, s1) on [rows, n] uint64 data (exact)."""
+    rows, n = data.shape
+    p64 = np.uint64(p)
+    for s in range(s0, s1):
+        m = 1 << s
+        t = n >> (s + 1)
+        v = data.reshape(rows, m, 2, t)
+        z0 = v[:, :, 0, :].copy()
+        z1 = v[:, :, 1, :]
+        w = twid[m : 2 * m][None, :, None]
+        wz1 = z1 * w % p64
+        v[:, :, 0, :] = (z0 + wz1) % p64
+        v[:, :, 1, :] = (z0 + p64 - wz1) % p64
+    return data
+
+
+def _inv_stage_range(data: np.ndarray, inv_twid: np.ndarray, p: int, s_hi: int, s_lo: int):
+    """Run inverse GS stages s_hi-1 down to s_lo on [rows, n] uint64 data."""
+    rows, n = data.shape
+    p64 = np.uint64(p)
+    for s in range(s_hi - 1, s_lo - 1, -1):
+        m = 1 << s
+        t = n >> (s + 1)
+        v = data.reshape(rows, m, 2, t)
+        z0 = v[:, :, 0, :].copy()
+        z1 = v[:, :, 1, :]
+        w = inv_twid[m : 2 * m][None, :, None]
+        v[:, :, 0, :] = (z0 + z1) % p64
+        v[:, :, 1, :] = (z0 + p64 - z1) % p64 * w % p64
+    return data
+
+
+def _col_matrix_fwd(n, n1, n2, twid, p):
+    """A[n1, n1]: stages [0, k) as one matrix shared by all columns."""
+    k = n1.bit_length() - 1
+    basis = np.zeros((n1, n), dtype=np.uint64)
+    for i in range(n1):
+        basis[i, i * n2] = 1
+        if n2 > 1:
+            basis[i, i * n2 + 1] = 0  # placeholder; column-independence checked below
+    out = _fwd_stage_range(basis, twid, p, 0, k)
+    A = out[:, ::n2].T.copy()  # A[r, i]
+    if n2 > 1:  # verify the operator is identical on a second column
+        basis2 = np.zeros((n1, n), dtype=np.uint64)
+        for i in range(n1):
+            basis2[i, i * n2 + 1] = 1
+        out2 = _fwd_stage_range(basis2, twid, p, 0, k)
+        assert np.array_equal(out2[:, 1::n2].T, A), "column-dependence in stages [0,k)"
+    return A
+
+
+def _row_ops_fwd(n, n1, n2, twid, p):
+    """F[n2, n2] shared row matrix + d[n1, n2] input-side diagonal:
+    row r's stages-[k, log2n) operator is F @ diag(d[r])."""
+    k = n1.bit_length() - 1
+    log2n = n.bit_length() - 1
+    # basis: row block r gets e_j in its row for all r at once
+    B = np.zeros((n2, n1, n2), dtype=np.uint64)  # [j, r, kappa] = B_r[kappa, j]
+    for j in range(n2):
+        data = np.zeros((1, n), dtype=np.uint64)
+        data[0].reshape(n1, n2)[:, j] = 1
+        out = _fwd_stage_range(data, twid, p, k, log2n)
+        B[j] = out[0].reshape(n1, n2)
+    B = B.transpose(1, 2, 0)  # [r, kappa, j]
+    F = B[0].copy()
+    assert np.all(F != 0), "shared row matrix has zero entries"
+    Finv = np.vectorize(lambda v: pow(int(v), p - 2, p), otypes=[object])(F)
+    d = np.zeros((n1, n2), dtype=np.uint64)
+    for r in range(n1):
+        rat = (B[r].astype(object) * Finv) % p
+        assert (rat == rat[0:1, :]).all(), "row operator does not factor as F.diag(d)"
+        d[r] = rat[0].astype(np.uint64)
+    return F, d
+
+
+def _row_ops_inv(n, n1, n2, inv_twid, p):
+    """G[n2, n2] shared inverse row matrix + e[n1, n2] OUTPUT-side diagonal:
+    row r's inverse stages-[log2n, k) operator is diag(e[r]) @ G."""
+    k = n1.bit_length() - 1
+    log2n = n.bit_length() - 1
+    C = np.zeros((n2, n1, n2), dtype=np.uint64)
+    for j in range(n2):
+        data = np.zeros((1, n), dtype=np.uint64)
+        data[0].reshape(n1, n2)[:, j] = 1
+        out = _inv_stage_range(data, inv_twid, p, log2n, k)
+        C[j] = out[0].reshape(n1, n2)
+    C = C.transpose(1, 2, 0)  # [r, kappa, j]
+    G = C[0].copy()
+    assert np.all(G != 0), "shared inverse row matrix has zero entries"
+    Ginv = np.vectorize(lambda v: pow(int(v), p - 2, p), otypes=[object])(G)
+    e = np.zeros((n1, n2), dtype=np.uint64)
+    for r in range(n1):
+        rat = (C[r].astype(object) * Ginv) % p
+        assert (rat == rat[:, 0:1]).all(), "inverse row op does not factor as diag(e).G"
+        e[r] = rat[:, 0].astype(np.uint64)
+    return G, e
+
+
+def _col_matrix_inv(n, n1, n2, inv_twid, p):
+    """A_inv[n1, n1]: inverse stages [k, 0) as one shared column matrix."""
+    k = n1.bit_length() - 1
+    basis = np.zeros((n1, n), dtype=np.uint64)
+    for i in range(n1):
+        basis[i, i * n2] = 1
+    out = _inv_stage_range(basis, inv_twid, p, k, 0)
+    A = out[:, ::n2].T.copy()
+    if n2 > 1:
+        basis2 = np.zeros((n1, n), dtype=np.uint64)
+        for i in range(n1):
+            basis2[i, i * n2 + 1] = 1
+        out2 = _inv_stage_range(basis2, inv_twid, p, k, 0)
+        assert np.array_equal(out2[:, 1::n2].T, A), "column-dependence in inv stages"
+    return A
+
+
+# ---------------------------------------------------------------------------
+# int8 digit-plane preparation (host)
+# ---------------------------------------------------------------------------
+
+
+def _balanced_digits(v: np.ndarray) -> np.ndarray:
+    """[4, ...] balanced radix-256 digits of centered int64 values (|v|<2^31)."""
+    digits = np.zeros((4,) + v.shape, dtype=np.int64)
+    rem = v.astype(np.int64).copy()
+    for dd in range(4):
+        r = ((rem + 128) & 255) - 128
+        digits[dd] = r
+        rem = (rem - r) >> 8
+    assert (rem == 0).all(), "balanced digit overflow"
+    return digits
+
+
+def _prep_matrix(M: np.ndarray, p: int, n_eplanes: int = 4):
+    """Pack M[K, O] (mod p) into fused int8 planes + epilogue constants.
+
+    Returns (planes [E*K, 4d*O] int8 — ONE fused matmul computes all four
+    matrix-digit accumulators S_d as O-wide column blocks —, cvec [4, O]
+    int32 additive constants incl. the sign offsets).
+
+    E = n_eplanes is the number of radix-2^8 digit planes of the OPERAND:
+    4 for u32 inputs, 8 for u64 limb-pair inputs, 16 for u128 — the residue
+    reduction of wide operands is linear mod p, so it folds into the matmul
+    (the TPU answer to the reference's per-coefficient `% p` residue split,
+    native64.rs:980-993).
+    """
+    K, O = M.shape
+    Ms = [(M.astype(object) * (1 << (8 * ee))) % p for ee in range(n_eplanes)]
+    # centered representative -> |entries| <= p/2 < 2^30, 4 balanced digits
+    planes = np.zeros((n_eplanes * K, 4 * O), dtype=np.int8)
+    csum = np.zeros((4, O), dtype=np.int64)
+    for ee in range(n_eplanes):
+        Mc = np.array(
+            [[int(v) - p if int(v) > p // 2 else int(v) for v in row] for row in Ms[ee]],
+            dtype=np.int64,
+        )
+        dig = _balanced_digits(Mc)  # [4, K, O]
+        for dd in range(4):
+            planes[ee * K : (ee + 1) * K, dd * O : (dd + 1) * O] = dig[dd].astype(
+                np.int8
+            )
+            csum[dd] += 128 * dig[dd].sum(axis=0)  # the x(+128) shift correction
+    cvec = csum + (1 << 27)  # sign offset making U_d nonnegative on device
+    assert np.all(np.abs(csum) < (1 << 27)), "epilogue constant overflow"
+    assert cvec.min() >= 0 and cvec.max() < (1 << 28)
+    return planes, cvec.astype(np.int32)
+
+
+def _reduce_chain(p: int) -> tuple[int, ...]:
+    """Multiples of p to conditionally subtract to bring a u32 into [0, p)."""
+    chain = []
+    bound = (1 << 32) - 1
+    while bound >= p:
+        q = p
+        while q * 2 <= bound and q * 2 < (1 << 32):
+            q *= 2
+        chain.append(q)
+        bound = max(q - 1, bound - q)
+    return tuple(chain)
+
+
+@lru_cache(maxsize=64)
+def _mxu_tables(n: int, p: int):
+    from ..golden.ntt import negacyclic_twiddles
+
+    twid_t, inv_twid_t = negacyclic_twiddles(p, n)
+    twid = np.array(twid_t, dtype=np.uint64)
+    inv_twid = np.array(inv_twid_t, dtype=np.uint64)
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+
+    A = _col_matrix_fwd(n, n1, n2, twid, p)
+    F, d = _row_ops_fwd(n, n1, n2, twid, p)
+    G, e = _row_ops_inv(n, n1, n2, inv_twid, p)
+    Ainv = _col_matrix_inv(n, n1, n2, inv_twid, p)
+
+    def shoup(tbl):
+        return ((tbl.astype(object) << 32) // p).astype(np.uint64).astype(np.uint32)
+
+    c32 = (1 << 32) % p
+    c32_shoup = (c32 << 32) // p
+    off = sum((1 << 27) << (8 * dd) for dd in range(4)) % p
+
+    tables = {
+        "n1": n1,
+        "n2": n2,
+        "c32": np.uint32(c32),
+        "c32_shoup": np.uint32(c32_shoup),
+        "off_mod_p": np.uint32(off),
+        "chain": _reduce_chain(p),
+        "lazy4": 4 * p < (1 << 32),  # a+b of two [0,2p) values fits u32
+    }
+    # _matmod computes x @ planes (contraction over the input index), while the
+    # operators are defined as out[r] = sum_i M[r, i] x[i] — store M transposed.
+    for name, M in (("A", A.T), ("F", F.T), ("G", G.T), ("Ainv", Ainv.T)):
+        planes, cvec = _prep_matrix(np.ascontiguousarray(M), p)
+        tables[name] = (planes, cvec)
+
+    def scale_tabs(W):
+        """Tables for the fused lazy scale-by-W epilogue: result represents
+        (V - OFF)*W mod p given limbs (lo, hi) of V: lo*W + hi*(2^32 W) + (p - OFF*W)."""
+        W = W.astype(object)
+        W32 = (W << 32) % p
+        pad = (p - (off * W) % p) % p
+        return (
+            W.astype(np.uint64).astype(np.uint32),
+            shoup(W.astype(np.uint64)),
+            W32.astype(np.uint64).astype(np.uint32),
+            shoup(W32.astype(np.uint64)),
+            pad.astype(np.uint64).astype(np.uint32),
+        )
+
+    tables["d"] = scale_tabs(d.T)  # fwd mid-pass layout [n2, n1]
+    tables["e"] = scale_tabs(e)  # inv mid-pass layout [n1, n2]
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# Device-side exact modular matmul + transform entry points
+# ---------------------------------------------------------------------------
+
+
+def _digit_cat(x):
+    """int8 digit planes (value - 128) of x, concatenated along the last axis.
+
+    x is a u32 array [..., K] (4 planes) or a little-endian limb tuple
+    (lo, hi, ...) of u32 arrays (4 planes per limb, limb-major order matching
+    the 2^(8e) weights of the wide matrix planes)."""
+    limbs = x if isinstance(x, tuple) else (x,)
+    parts = []
+    for limb in limbs:
+        for ee in range(4):
+            dig = ((limb >> np.uint32(8 * ee)) & np.uint32(255)).astype(jnp.int32)
+            parts.append((dig - 128).astype(jnp.int8))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _reduce_u32(x, chain):
+    for q in chain:
+        x = jnp.where(x >= np.uint32(q), x - np.uint32(q), x)
+    return x
+
+
+def _limbs(x, mat, tbl):
+    """Fused int8 dot + limb combine: returns (lo, hi) u32 with
+    hi*2^32 + lo = (x @ M mod p) + OFF exactly, contracting the LAST axis."""
+    planes_np, cvec_np = mat
+    planes = jnp.asarray(planes_np)
+    cvec = jnp.asarray(cvec_np)
+    o = planes_np.shape[1] // 4
+    xd = _digit_cat(x)
+    big = jax.lax.dot_general(
+        xd, planes, (((xd.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    bshape = (1,) * (xd.ndim - 1) + (-1,)
+    u = [
+        (big[..., dd * o : (dd + 1) * o] + cvec[dd].reshape(bshape)).astype(jnp.uint32)
+        for dd in range(4)
+    ]
+    t1 = u[1] << np.uint32(8)
+    t2 = u[2] << np.uint32(16)
+    t3 = u[3] << np.uint32(24)
+    s1 = u[0] + t1
+    c1 = (s1 < t1).astype(jnp.uint32)
+    s2 = s1 + t2
+    c2 = (s2 < t2).astype(jnp.uint32)
+    lo = s2 + t3
+    c3 = (lo < t3).astype(jnp.uint32)
+    hi = (u[1] >> np.uint32(24)) + (u[2] >> np.uint32(16)) + (u[3] >> np.uint32(8))
+    hi = hi + c1 + c2 + c3
+    return lo, hi
+
+
+def _matmod(x, mat, tbl, *, p: int):
+    """Exact canonical (x @ M) mod p in [0, p), contracting the LAST axis."""
+    lo, hi = _limbs(x, mat, tbl)
+    r = shoup_mul_lazy(hi, tbl["c32"], tbl["c32_shoup"], p)  # [0, 2p)
+    r = jnp.where(r >= np.uint32(p), r - np.uint32(p), r)
+    lo = _reduce_u32(lo, tbl["chain"])
+    s = r + lo
+    s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
+    # undo the 2^27 sign offsets
+    s = jnp.where(
+        s >= tbl["off_mod_p"], s - tbl["off_mod_p"], s + np.uint32(p) - tbl["off_mod_p"]
+    )
+    return s
+
+
+def _matmod_scaled_lazy(x, mat, scale, tbl, *, p: int):
+    """(x @ M)*W mod p as ANY u32 representative (lazy), contracting last axis.
+
+    Fuses the four-step twiddle correction into the reduction: with
+    V = hi*2^32 + lo = true + OFF, result = lo*W + hi*(2^32 W) - OFF*W
+    via two elementwise Shoup multiplies — no canonical reduction needed
+    because the next matmul accepts any u32 representative of the residue.
+    """
+    lo, hi = _limbs(x, mat, tbl)
+    w, w_sh, w32, w32_sh, pad = (jnp.asarray(a)[None] for a in scale)
+    a = shoup_mul_lazy(lo, w, w_sh, p)  # [0, 2p)
+    b = shoup_mul_lazy(hi, w32, w32_sh, p)  # [0, 2p)
+    if tbl["lazy4"]:
+        s = a + b  # < 4p < 2^32
+        s = jnp.where(s >= np.uint32(2 * p), s - np.uint32(2 * p), s)
+    else:
+        a = jnp.where(a >= np.uint32(p), a - np.uint32(p), a)
+        b = jnp.where(b >= np.uint32(p), b - np.uint32(p), b)
+        s = a + b  # < 2p < 2^32
+        s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
+    return s + pad  # < 3p (lazy4) or < 2p; valid u32 representative
+
+
+def fwd(x, *, n: int, p: int):
+    """[B, n] u32 -> forward negacyclic NTT, bit-reversed order, [0, p)."""
+    tbl = _mxu_tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = x.shape[0]
+    v = x.reshape(b, n1, n2).transpose(0, 2, 1)  # [B, n2, n1]
+    # column pass + fused twiddle correction: contract n1 -> [B, n2, n1]
+    y = _matmod_scaled_lazy(v, tbl["A"], tbl["d"], tbl, p=p)
+    y = y.transpose(0, 2, 1)  # [B, n1, n2]
+    # row pass: contract n2 -> [B, n1, n2], canonical
+    out = _matmod(y, tbl["F"], tbl, p=p)
+    return out.reshape(b, n)
+
+
+@lru_cache(maxsize=128)
+def _wide_col_planes(n: int, p: int, n_limbs: int):
+    """Column-pass planes consuming u{32*n_limbs} limb tuples directly: the
+    residue split (value mod p) folds into the matmul as extra digit planes."""
+    from ..golden.ntt import negacyclic_twiddles
+
+    twid = np.array(negacyclic_twiddles(p, n)[0], dtype=np.uint64)
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    A = _col_matrix_fwd(n, n1, n2, twid, p)
+    return _prep_matrix(np.ascontiguousarray(A.T), p, n_eplanes=4 * n_limbs)
+
+
+def fwd_wide(limbs: tuple, *, n: int, p: int):
+    """Forward NTT of wide unsigned values given as little-endian u32 limb
+    tuples (each [B, n]) — fuses the reference's per-coefficient residue
+    split (native64.rs:980-993, native128.rs) into the column matmul."""
+    tbl = _mxu_tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = limbs[0].shape[0]
+    wide_mat = _wide_col_planes(n, p, len(limbs))
+    v = tuple(a.reshape(b, n1, n2).transpose(0, 2, 1) for a in limbs)
+    y = _matmod_scaled_lazy(v, wide_mat, tbl["d"], tbl, p=p)
+    y = y.transpose(0, 2, 1)
+    out = _matmod(y, tbl["F"], tbl, p=p)
+    return out.reshape(b, n)
+
+
+def inv(x, *, n: int, p: int):
+    """[B, n] u32 bit-reversed NTT values -> standard order, unnormalized, [0, p)."""
+    tbl = _mxu_tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = x.shape[0]
+    v = x.reshape(b, n1, n2)
+    # row pass + fused output diagonal: contract n2 -> [B, n1, n2]
+    y = _matmod_scaled_lazy(v, tbl["G"], tbl["e"], tbl, p=p)
+    y = y.transpose(0, 2, 1)  # [B, n2, n1]
+    # column pass: contract n1 -> [B, n2, n1], canonical
+    out = _matmod(y, tbl["Ainv"], tbl, p=p)
+    return out.transpose(0, 2, 1).reshape(b, n)
+
+
+def applicable(n: int, p: int, variant: str) -> bool:
+    return (
+        variant in ("lt30", "lt31")
+        and p >= _MIN_P
+        and n >= 2048
+        and n.bit_length() - 1 >= 2
+    )
