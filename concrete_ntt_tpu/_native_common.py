@@ -190,6 +190,28 @@ class NativePlanBase:
 
     # -- end-to-end product (negacyclic_polymul, native64.rs:1042-1069) -------
 
+    def _pointwise_inv(self, fl_arr, fr_arr):
+        """Per-channel pointwise·n^-1 then inverse NTT → standard-order
+        residue list (fused on the MXU engine: bare Montgomery pointwise with
+        the 2^32 and n^-1 factors folded into the inverse column matrix)."""
+        if self.tier == "plan32":
+            from .ops import ntt_dispatch
+
+            fused = ntt_dispatch.try_pointwise_inv32_all(fl_arr, fr_arr, self.plans)
+            if fused is not None:
+                return fused
+        residues = []
+        for i, plan in enumerate(self.plans):
+            if self.tier == "plan32":
+                prod = plan.mul_assign_normalize(fl_arr[i], fr_arr[i])
+                residues.append(self._plan_io(plan, prod, "inv"))
+            else:
+                prod = plan.mul_assign_normalize(fl_arr[i], fr_arr[i])
+                residues.append(
+                    self._plan_io(plan, (prod[..., 0], prod[..., 1]), "inv")
+                )
+        return residues
+
     def negacyclic_polymul(self, lhs, rhs, rhs_binary: bool = False):
         out_fmt = self._fmt_of(lhs)
         _, lead0, _ = _marshal_in(lhs, self.width, self.n)
@@ -197,12 +219,11 @@ class NativePlanBase:
         fr = self.fwd_binary(rhs) if rhs_binary else self.fwd(rhs)
         fl_arr, _ = self._residues_in(fl)
         fr_arr, _ = self._residues_in(fr)
-        prods = [
-            plan.mul_assign_normalize(fl_arr[i], fr_arr[i])
-            for i, plan in enumerate(self.plans)
-        ]
-        stacked = jnp.stack(prods, axis=0)
-        out = self.inv(stacked, out_format=out_fmt)
+        residues = self._pointwise_inv(fl_arr, fr_arr)
+        value_parts = self._reconstruct(residues)
+        if not isinstance(value_parts, tuple):
+            value_parts = (value_parts,)
+        out = _marshal_out(value_parts, lead0, out_fmt, self.n)
         if out_fmt in ("u32", "np64"):
             return out.reshape(*lead0, self.n)
         if out_fmt == "limbs":

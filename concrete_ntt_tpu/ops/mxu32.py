@@ -324,18 +324,22 @@ def _reduce_u32(x, chain):
     return x
 
 
-def _limbs(x, mat, tbl):
-    """Fused int8 dot + limb combine: returns (lo, hi) u32 with
-    hi*2^32 + lo = (x @ M mod p) + OFF exactly, contracting the LAST axis."""
-    planes_np, cvec_np = mat
-    planes = jnp.asarray(planes_np)
-    cvec = jnp.asarray(cvec_np)
-    o = planes_np.shape[1] // 4
+def _dot_planes(x, mat):
+    """Fused int8 digit dot contracting the LAST axis: u32 array (or limb
+    tuple) [..., K] -> int32 accumulators [..., 4O]."""
+    planes = jnp.asarray(mat[0])
     xd = _digit_cat(x)
-    big = jax.lax.dot_general(
+    return jax.lax.dot_general(
         xd, planes, (((xd.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    bshape = (1,) * (xd.ndim - 1) + (-1,)
+
+
+def _combine(big, mat):
+    """int32 accumulators [..., 4O] -> (lo, hi) u32 limbs of
+    V = (x @ M mod p) + OFF (exact)."""
+    cvec = jnp.asarray(mat[1])
+    o = mat[0].shape[1] // 4
+    bshape = (1,) * (big.ndim - 1) + (-1,)
     u = [
         (big[..., dd * o : (dd + 1) * o] + cvec[dd].reshape(bshape)).astype(jnp.uint32)
         for dd in range(4)
@@ -354,9 +358,15 @@ def _limbs(x, mat, tbl):
     return lo, hi
 
 
-def _matmod(x, mat, tbl, *, p: int):
-    """Exact canonical (x @ M) mod p in [0, p), contracting the LAST axis."""
-    lo, hi = _limbs(x, mat, tbl)
+def _limbs(x, mat, tbl):
+    """Fused int8 dot + limb combine: returns (lo, hi) u32 with
+    hi*2^32 + lo = (x @ M mod p) + OFF exactly, contracting the LAST axis."""
+    del tbl
+    return _combine(_dot_planes(x, mat), mat)
+
+
+def _epilogue_canonical(lo, hi, tbl, *, p: int):
+    """(lo, hi) limbs of V = true + OFF -> canonical true mod p in [0, p)."""
     r = shoup_mul_lazy(hi, tbl["c32"], tbl["c32_shoup"], p)  # [0, 2p)
     r = jnp.where(r >= np.uint32(p), r - np.uint32(p), r)
     lo = _reduce_u32(lo, tbl["chain"])
@@ -369,16 +379,10 @@ def _matmod(x, mat, tbl, *, p: int):
     return s
 
 
-def _matmod_scaled_lazy(x, mat, scale, tbl, *, p: int):
-    """(x @ M)*W mod p as ANY u32 representative (lazy), contracting last axis.
-
-    Fuses the four-step twiddle correction into the reduction: with
-    V = hi*2^32 + lo = true + OFF, result = lo*W + hi*(2^32 W) - OFF*W
-    via two elementwise Shoup multiplies — no canonical reduction needed
-    because the next matmul accepts any u32 representative of the residue.
-    """
-    lo, hi = _limbs(x, mat, tbl)
-    w, w_sh, w32, w32_sh, pad = (jnp.asarray(a)[None] for a in scale)
+def _epilogue_scaled_lazy(lo, hi, scale, tbl, *, p: int):
+    """(lo, hi) limbs of V = true + OFF -> true*W mod p as ANY u32
+    representative: lo*W + hi*(2^32 W) - OFF*W via two Shoup multiplies."""
+    w, w_sh, w32, w32_sh, pad = (jnp.asarray(x)[None] for x in scale)
     a = shoup_mul_lazy(lo, w, w_sh, p)  # [0, 2p)
     b = shoup_mul_lazy(hi, w32, w32_sh, p)  # [0, 2p)
     if tbl["lazy4"]:
@@ -390,6 +394,19 @@ def _matmod_scaled_lazy(x, mat, scale, tbl, *, p: int):
         s = a + b  # < 2p < 2^32
         s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
     return s + pad  # < 3p (lazy4) or < 2p; valid u32 representative
+
+
+def _matmod(x, mat, tbl, *, p: int):
+    """Exact canonical (x @ M) mod p in [0, p), contracting the LAST axis."""
+    lo, hi = _limbs(x, mat, tbl)
+    return _epilogue_canonical(lo, hi, tbl, p=p)
+
+
+def _matmod_scaled_lazy(x, mat, scale, tbl, *, p: int):
+    """(x @ M)*W mod p as ANY u32 representative (lazy), contracting last
+    axis — the four-step twiddle correction fused into the reduction."""
+    lo, hi = _limbs(x, mat, tbl)
+    return _epilogue_scaled_lazy(lo, hi, scale, tbl, p=p)
 
 
 def fwd(x, *, n: int, p: int):
@@ -435,8 +452,29 @@ def fwd_wide(limbs: tuple, *, n: int, p: int):
     return out.reshape(b, n)
 
 
-def inv(x, *, n: int, p: int):
-    """[B, n] u32 bit-reversed NTT values -> standard order, unnormalized, [0, p)."""
+@lru_cache(maxsize=128)
+def _scaled_ainv_planes(n: int, p: int, scale: int):
+    """A_inv pre-multiplied by a constant (e.g. n^-1 * 2^32 mod p, folding the
+    normalization and a Montgomery factor of the pointwise product into the
+    final matmul — the matmul analogue of the reference's fused
+    mul_assign_normalize, prime32.rs:812-864)."""
+    from ..golden.ntt import negacyclic_twiddles
+
+    inv_twid = np.array(negacyclic_twiddles(p, n)[1], dtype=np.uint64)
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    Ainv = _col_matrix_inv(n, n1, n2, inv_twid, p)
+    M = (Ainv.T.astype(object) * scale % p).astype(np.uint64)
+    return _prep_matrix(np.ascontiguousarray(M), p)
+
+
+def inv(x, *, n: int, p: int, scale: int = 1):
+    """[B, n] u32 bit-reversed NTT values -> standard order, [0, p).
+
+    Unnormalized for scale=1 (reference semantics, inv(fwd(x)) == n*x); a
+    non-unit scale multiplies every output by the constant for free (folded
+    into the column matrix)."""
     tbl = _mxu_tables(n, p)
     n1, n2 = tbl["n1"], tbl["n2"]
     b = x.shape[0]
@@ -445,7 +483,8 @@ def inv(x, *, n: int, p: int):
     y = _matmod_scaled_lazy(v, tbl["G"], tbl["e"], tbl, p=p)
     y = y.transpose(0, 2, 1)  # [B, n2, n1]
     # column pass: contract n1 -> [B, n2, n1], canonical
-    out = _matmod(y, tbl["Ainv"], tbl, p=p)
+    mat = tbl["Ainv"] if scale == 1 else _scaled_ainv_planes(n, p, scale % p)
+    out = _matmod(y, mat, tbl, p=p)
     return out.transpose(0, 2, 1).reshape(b, n)
 
 

@@ -49,6 +49,21 @@ def _mxu_wanted(n, p, variant) -> bool:
     return eng == "auto" and _on_tpu()
 
 
+def _mxu_impl(n):
+    """Fused-Pallas MXU engine on TPU, pure-XLA MXU engine elsewhere
+    (bit-identical; the Pallas kernel keeps the whole transform in VMEM).
+    Mosaic lane-splitting reshapes need both four-step factors >= 128 lanes,
+    so the fused kernel only serves n >= 2^14."""
+    if _on_tpu():
+        from . import mxu32_pallas
+
+        if mxu32_pallas.fused_applicable(n):
+            return mxu32_pallas
+    from . import mxu32
+
+    return mxu32
+
+
 def try_fwd32_wide_all(parts, plans):
     """Fused residue-split + forward NTT for a CRT plan's prime32 channels.
 
@@ -61,19 +76,40 @@ def try_fwd32_wide_all(parts, plans):
     n = parts[0].shape[-1]
     if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
         return None
-    from . import mxu32
+    eng = _mxu_impl(n)
 
     if len(parts) == 1:  # u32 values: any u32 is a valid residue representative
-        return [mxu32.fwd(parts[0], n=n, p=pl.p) for pl in plans]
-    return [mxu32.fwd_wide(parts, n=n, p=pl.p) for pl in plans]
+        return [eng.fwd(parts[0], n=n, p=pl.p) for pl in plans]
+    return [eng.fwd_wide(parts, n=n, p=pl.p) for pl in plans]
+
+
+def try_pointwise_inv32_all(fl, fr, plans):
+    """Fused pointwise-multiply + normalize + inverse NTT for a CRT plan's
+    prime32 channels on the MXU engine.
+
+    The pointwise product is a bare Montgomery multiply (a*b*2^-32); the
+    2^32 compensation and the n^-1 normalization fold into the inverse
+    column matrix — the matmul analogue of the reference's fused
+    mul_assign_normalize + inv pipeline (native64.rs:1062-1069). Returns a
+    list of standard-order per-channel residues, or None if inapplicable."""
+    n = fl.shape[-1]
+    if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
+        return None
+    eng = _mxu_impl(n)
+    from .u32 import mont_mul
+
+    outs = []
+    for i, pl in enumerate(plans):
+        prod = mont_mul(fl[i], fr[i], pl.p, pl.p_neginv)
+        scale = pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p
+        outs.append(eng.inv(prod, n=n, p=pl.p, scale=scale))
+    return outs
 
 
 def fwd32(x, tbl, *, p, variant, p_neginv):
     n = x.shape[-1]
     if _mxu_wanted(n, p, variant):
-        from . import mxu32
-
-        return mxu32.fwd(x, n=n, p=p)
+        return _mxu_impl(n).fwd(x, n=n, p=p)
     if _pallas_available():
         from . import pallas32
 
@@ -96,9 +132,7 @@ def fwd32(x, tbl, *, p, variant, p_neginv):
 def inv32(x, tbl, *, p, variant, p_neginv):
     n = x.shape[-1]
     if _mxu_wanted(n, p, variant):
-        from . import mxu32
-
-        return mxu32.inv(x, n=n, p=p)
+        return _mxu_impl(n).inv(x, n=n, p=p)
     if _pallas_available():
         from . import pallas32
 
