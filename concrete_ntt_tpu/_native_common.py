@@ -214,6 +214,25 @@ class NativePlanBase:
 
     def negacyclic_polymul(self, lhs, rhs, rhs_binary: bool = False):
         out_fmt = self._fmt_of(lhs)
+        if self.tier == "plan32":
+            from .ops import ntt_dispatch
+
+            parts_l, lead0, _ = _marshal_in(lhs, self.width, self.n)
+            parts_r, _, _ = _marshal_in(rhs, self.width, self.n)
+            stacked = ntt_dispatch.try_polymul32_stacked(
+                parts_l, parts_r, self.plans, rhs_binary
+            )
+            if stacked is not None:
+                residues = [stacked[i] for i in range(len(self.plans))]
+                value_parts = self._reconstruct(residues)
+                if not isinstance(value_parts, tuple):
+                    value_parts = (value_parts,)
+                out = _marshal_out(value_parts, lead0, out_fmt, self.n)
+                if out_fmt in ("u32", "np64"):
+                    return out.reshape(*lead0, self.n)
+                if out_fmt == "limbs":
+                    return out.reshape(*lead0, self.n, self.width // 32)
+                return out
         _, lead0, _ = _marshal_in(lhs, self.width, self.n)
         fl = self.fwd(lhs)
         fr = self.fwd_binary(rhs) if rhs_binary else self.fwd(rhs)

@@ -151,3 +151,303 @@ def fused_applicable(n: int) -> bool:
     log2n = n.bit_length() - 1
     n1 = 1 << (log2n // 2)
     return n1 >= 128 and (n // n1) >= 128
+
+
+# ---------------------------------------------------------------------------
+# Channel-grid kernels: ALL CRT channels of a native plan in ONE pallas_call.
+#
+# Grid = (batch_tile, channel) with the channel axis innermost, so the
+# operand block (whose index map ignores the channel) stays resident in VMEM
+# across channels while per-channel planes/diagonals/scalars stream in. The
+# prime p and its derived reduction constants become traced scalars read
+# from SMEM — the traced-scalar epilogues below mirror ops/mxu32.py
+# bit-for-bit (asserted by tests).
+#
+# For every supported channel prime (2^29 < p < 2^30, the hardcoded table
+# primes lib.rs:447-595) the canonical reduction chain is the same shape:
+# cond_sub(2p), cond_sub(2p), cond_sub(p) — asserted at build time.
+# ---------------------------------------------------------------------------
+
+
+def _sc_epilogue_scaled_lazy(lo, hi, dg, sc):
+    """Traced-scalar version of mxu32._epilogue_scaled_lazy (lazy4 regime)."""
+    p, c32, c32_sh, _off, two_p = sc
+    w, w_sh, w32, w32_sh, pad = dg
+    from .u32 import mulhi_u32
+
+    a = lo * w - mulhi_u32(lo, w_sh) * p
+    b = hi * w32 - mulhi_u32(hi, w32_sh) * p
+    s = a + b  # < 4p < 2^32 (p < 2^30)
+    s = jnp.where(s >= two_p, s - two_p, s)
+    return s + pad  # < 3p: valid u32 representative
+
+
+def _sc_epilogue_canonical(lo, hi, sc):
+    """Traced-scalar version of mxu32._epilogue_canonical for 2^29 < p < 2^30."""
+    p, c32, c32_sh, off, two_p = sc
+    from .u32 import mulhi_u32
+
+    r = hi * c32 - mulhi_u32(hi, c32_sh) * p  # [0, 2p)
+    r = jnp.where(r >= p, r - p, r)
+    four_p = two_p + two_p  # < 2^32 for p < 2^30
+    lo = jnp.where(lo >= four_p, lo - four_p, lo)
+    lo = jnp.where(lo >= two_p, lo - two_p, lo)
+    lo = jnp.where(lo >= p, lo - p, lo)
+    s = r + lo
+    s = jnp.where(s >= p, s - p, s)
+    return jnp.where(s >= off, s - off, s + p - off)
+
+
+def _sc_combine(big, cvec, o):
+    u = [
+        (big[..., dd * o : (dd + 1) * o] + cvec[dd][None, None, :]).astype(jnp.uint32)
+        for dd in range(4)
+    ]
+    t1 = u[1] << np.uint32(8)
+    t2 = u[2] << np.uint32(16)
+    t3 = u[3] << np.uint32(24)
+    s1 = u[0] + t1
+    c1 = (s1 < t1).astype(jnp.uint32)
+    s2 = s1 + t2
+    c2 = (s2 < t2).astype(jnp.uint32)
+    lo = s2 + t3
+    c3 = (lo < t3).astype(jnp.uint32)
+    hi = (u[1] >> np.uint32(24)) + (u[2] >> np.uint32(16)) + (u[3] >> np.uint32(8))
+    hi = hi + c1 + c2 + c3
+    return lo, hi
+
+
+def _dot8(xd, planes):
+    return jax.lax.dot_general(
+        xd, planes, (((xd.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
+    """Stacked per-channel tables for the channel-grid kernels."""
+    t0 = mxu32._mxu_tables(n, primes[0])
+    n1, n2 = t0["n1"], t0["n2"]
+    p1f, c1f, p2f, c2f, dgf = [], [], [], [], []
+    p1i, c1i, p2i, c2i, dgi = [], [], [], [], []
+    scal = []
+    for ch, p in enumerate(primes):
+        assert (1 << 29) < p < (1 << 30), "channel-grid kernels need 30-bit primes"
+        tbl = mxu32._mxu_tables(n, p)
+        assert tbl["chain"] == (4 * p, 2 * p, p), "unexpected reduction chain"
+        mat1 = mxu32._wide_col_planes(n, p, n_limbs) if n_limbs > 1 else tbl["A"]
+        p1f.append(mat1[0])
+        c1f.append(mat1[1])
+        p2f.append(tbl["F"][0])
+        c2f.append(tbl["F"][1])
+        dgf.append(tbl["d"])
+        p1i.append(tbl["G"][0])
+        c1i.append(tbl["G"][1])
+        mat2 = (
+            tbl["Ainv"]
+            if scales[ch] == 1
+            else mxu32._scaled_ainv_planes(n, p, scales[ch] % p)
+        )
+        p2i.append(mat2[0])
+        c2i.append(mat2[1])
+        dgi.append(tbl["e"])
+        scal.append(
+            [p, int(tbl["c32"]), int(tbl["c32_shoup"]), int(tbl["off_mod_p"]), 2 * p]
+        )
+    stack = lambda xs: np.ascontiguousarray(np.stack(xs, axis=0))
+    return {
+        "n1": n1,
+        "n2": n2,
+        "fwd": (
+            stack(p1f),
+            stack(c1f),
+            stack(p2f),
+            stack(c2f),
+            tuple(stack([d[j] for d in dgf]) for j in range(5)),
+        ),
+        "inv": (
+            stack(p1i),
+            stack(c1i),
+            stack(p2i),
+            stack(c2i),
+            tuple(stack([d[j] for d in dgi]) for j in range(5)),
+        ),
+        "scalars": np.array(scal, dtype=np.uint32),  # [C, 5]
+    }
+
+
+@lru_cache(maxsize=64)
+def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
+                      scales: tuple, pointwise: bool):
+    tabs = _multi_tables(n, primes, n_limbs, scales)
+    n1, n2 = tabs["n1"], tabs["n2"]
+    C = len(primes)
+    planes1, cvec1, planes2, cvec2, diag = tabs[direction]
+    n_in = (2 if pointwise else 1) * n_limbs if direction == "inv" else n_limbs
+
+    def kernel(*refs):
+        sc_ref = refs[0]
+        p1_ref, c1_ref, p2_ref, c2_ref = refs[1:5]
+        diag_refs = refs[5:10]
+        x_refs = refs[10 : 10 + n_in]
+        out_ref = refs[-1]
+
+        sc = tuple(sc_ref[0, 0, j] for j in range(5))
+        m1 = p1_ref[0]
+        cv1 = c1_ref[0]
+        m2 = p2_ref[0]
+        cv2 = c2_ref[0]
+        dg = tuple(r[0][None] for r in diag_refs)
+
+        if direction == "fwd":
+            v = tuple(
+                jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
+            )
+            xd = jnp.concatenate(
+                [_digit8(limb) for limb in v], axis=-1
+            ) if len(v) > 1 else _digit8(v[0])
+            lo, hi = _sc_combine(_dot8(xd, m1), cv1, n1)
+            y = _sc_epilogue_scaled_lazy(lo, hi, dg, sc)
+            y = jnp.swapaxes(y, 1, 2)
+            lo, hi = _sc_combine(_dot8(_digit8(y), m2), cv2, n2)
+            out = _sc_epilogue_canonical(lo, hi, sc)
+            out_ref[0] = out.reshape(_B_TILE, n)
+        else:
+            if pointwise:
+                a = x_refs[0][0].reshape(_B_TILE, n1, n2)
+                b = x_refs[1][0].reshape(_B_TILE, n1, n2)
+                v = _sc_mont_mul(a, b, sc_ref)
+            else:
+                v = x_refs[0][0].reshape(_B_TILE, n1, n2)
+            lo, hi = _sc_combine(_dot8(_digit8(v), m1), cv1, n2)
+            y = _sc_epilogue_scaled_lazy(lo, hi, dg, sc)
+            y = jnp.swapaxes(y, 1, 2)
+            lo, hi = _sc_combine(_dot8(_digit8(y), m2), cv2, n1)
+            out = _sc_epilogue_canonical(lo, hi, sc)
+            out_ref[0] = jnp.swapaxes(out, 1, 2).reshape(_B_TILE, n)
+
+    k1 = 4 * n_limbs * n1 if direction == "fwd" else 4 * n2
+    o1 = n1 if direction == "fwd" else n2
+    k2 = 4 * n2 if direction == "fwd" else 4 * n1
+    o2 = n2 if direction == "fwd" else n1
+    d_shape = diag[0].shape[1:]
+
+    def call(*xs):
+        bsz = xs[0].shape[-2]
+        grid = (bsz // _B_TILE, C)
+        const_specs = [
+            pl.BlockSpec((1, 1, 6), lambda i, c: (c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k1, 4 * o1), lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, o1), lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2, 4 * o2), lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, o2), lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((1,) + d_shape, lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM)
+                for _ in range(5)
+            ],
+        ]
+        if direction == "fwd":
+            in_specs = [
+                pl.BlockSpec((_B_TILE, n), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(n_in)
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
+                for _ in range(n_in)
+            ]
+        scal6 = np.zeros((C, 1, 6), dtype=np.uint32)
+        scal6[:, 0, :5] = tabs["scalars"]
+        scal6[:, 0, 5] = _neginv_vec(primes) if pointwise else 0
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[*const_specs, *in_specs],
+            out_specs=pl.BlockSpec(
+                (1, _B_TILE, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((C, bsz, n), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+        )(
+            jnp.asarray(scal6),
+            jnp.asarray(planes1),
+            jnp.asarray(cvec1),
+            jnp.asarray(planes2),
+            jnp.asarray(cvec2),
+            *(jnp.asarray(d) for d in diag),
+            *xs,
+        )
+
+    return call
+
+
+def _digit8(x):
+    parts = []
+    for ee in range(4):
+        dig = ((x >> np.uint32(8 * ee)) & np.uint32(255)).astype(jnp.int32)
+        parts.append((dig - 128).astype(jnp.int8))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _neginv_vec(primes):
+    from .u32 import mont_neginv
+
+    return np.array([mont_neginv(p) for p in primes], dtype=np.uint32)
+
+
+def _sc_mont_mul(a, b, sc_ref):
+    """Montgomery product a*b*2^-32 mod p with traced scalars, any-u32 rep."""
+    from .u32 import mulhi_u32, mulwide_u32
+
+    p = sc_ref[0, 0, 0]
+    p_neginv = sc_ref[0, 0, 5]
+    lo, hi = mulwide_u32(a, b)
+    m = lo * p_neginv
+    t = hi + mulhi_u32(m, p)
+    carry = (lo + m * p < lo).astype(jnp.uint32)  # lo + m*p == 0 mod 2^32 w/ carry
+    t = t + carry
+    return jnp.where(t >= p, t - p, t)
+
+
+def fwd_wide_multi(limbs: tuple, primes: tuple):
+    """All CRT channels' forward NTTs in one kernel: [B, n] limb tuple ->
+    [C, B, n] canonical NTT-domain residues."""
+    n = limbs[0].shape[-1]
+    b = limbs[0].shape[0]
+    pad = (-b) % _B_TILE
+    if pad:
+        limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in limbs)
+    call = _build_multi_call(
+        n, tuple(primes), len(limbs), "fwd", (1,) * len(primes), False
+    )
+    out = call(*limbs)
+    return out[:, :b] if pad else out
+
+
+def inv_multi(x, primes: tuple, scales: tuple):
+    """All channels' scaled inverse NTTs in one kernel:
+    x [C, B, n] (any u32 representatives) -> [C, B, n] standard order."""
+    n = x.shape[-1]
+    b = x.shape[-2]
+    pad = (-b) % _B_TILE
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    call = _build_multi_call(n, tuple(primes), 1, "inv", tuple(scales), False)
+    out = call(x)
+    return out[:, :b] if pad else out
+
+
+def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
+    """All channels' pointwise Montgomery product + scaled inverse NTT in one
+    kernel: fl, fr [C, B, n] -> [C, B, n] standard-order residues."""
+    n = fl.shape[-1]
+    b = fl.shape[-2]
+    pad = (-b) % _B_TILE
+    if pad:
+        fl = jnp.pad(fl, ((0, 0), (0, pad), (0, 0)))
+        fr = jnp.pad(fr, ((0, 0), (0, pad), (0, 0)))
+    call = _build_multi_call(n, tuple(primes), 1, "inv", tuple(scales), True)
+    out = call(fl, fr)
+    return out[:, :b] if pad else out

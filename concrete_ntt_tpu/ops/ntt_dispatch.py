@@ -77,6 +77,11 @@ def try_fwd32_wide_all(parts, plans):
     if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
         return None
     eng = _mxu_impl(n)
+    if hasattr(eng, "fwd_wide_multi") and all(
+        (1 << 29) < pl.p < (1 << 30) for pl in plans
+    ):
+        stacked = eng.fwd_wide_multi(tuple(parts), tuple(pl.p for pl in plans))
+        return [stacked[i] for i in range(len(plans))]
 
     if len(parts) == 1:  # u32 values: any u32 is a valid residue representative
         return [eng.fwd(parts[0], n=n, p=pl.p) for pl in plans]
@@ -96,14 +101,59 @@ def try_pointwise_inv32_all(fl, fr, plans):
     if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
         return None
     eng = _mxu_impl(n)
+    scales = tuple(
+        pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p for pl in plans
+    )
+    if hasattr(eng, "pointwise_inv_multi") and all(
+        (1 << 29) < pl.p < (1 << 30) for pl in plans
+    ):
+        out = eng.pointwise_inv_multi(
+            fl, fr, tuple(pl.p for pl in plans), scales
+        )
+        return [out[i] for i in range(len(plans))]
     from .u32 import mont_mul
 
     outs = []
     for i, pl in enumerate(plans):
         prod = mont_mul(fl[i], fr[i], pl.p, pl.p_neginv)
-        scale = pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p
-        outs.append(eng.inv(prod, n=n, p=pl.p, scale=scale))
+        outs.append(eng.inv(prod, n=n, p=pl.p, scale=scales[i]))
     return outs
+
+
+def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
+    """End-to-end stacked negacyclic polymul fast path for plan32 CRT plans
+    on the fused-Pallas MXU engine: fwd both operands (channel-grid kernels),
+    pointwise Montgomery product in XLA with per-channel vector constants,
+    scaled inverse (n^-1 * 2^32 folded into the inverse column matrix).
+    Returns standard-order residues [C, B, n], or None if inapplicable."""
+    n = parts_l[0].shape[-1]
+    if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
+        return None
+    if not all((1 << 29) < pl.p < (1 << 30) for pl in plans):
+        return None
+    eng = _mxu_impl(n)
+    if not hasattr(eng, "fwd_wide_multi"):
+        return None
+    import numpy as np
+
+    from .u32 import mulhi_u32, mulwide_u32
+
+    primes = tuple(pl.p for pl in plans)
+    fl = eng.fwd_wide_multi(tuple(parts_l), primes)
+    fr = eng.fwd_wide_multi(tuple(parts_r[:1]) if rhs_binary else tuple(parts_r), primes)
+    c = len(primes)
+    pv = jnp.asarray(np.array(primes, dtype=np.uint32)).reshape(c, 1, 1)
+    nv = jnp.asarray(
+        np.array([pl.p_neginv for pl in plans], dtype=np.uint32)
+    ).reshape(c, 1, 1)
+    # Montgomery product a*b*2^-32 mod p (any-u32 representative out)
+    lo, hi = mulwide_u32(fl, fr)
+    m = lo * nv
+    t = hi + mulhi_u32(m, pv) + ((lo + m * pv) < lo).astype(jnp.uint32)
+    scales = tuple(
+        pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p for pl in plans
+    )
+    return eng.inv_multi(t, primes, scales)
 
 
 def fwd32(x, tbl, *, p, variant, p_neginv):
