@@ -242,20 +242,49 @@ def _reduce_chain(p: int) -> tuple[int, ...]:
 
 
 @lru_cache(maxsize=64)
-def _mxu_tables(n: int, p: int):
+def _operators(n: int, p: int):
+    """The six four-step operators A, F, d, G, e, Ainv (uint64 mod p).
+
+    Native C++ builder when available (~100x faster plan construction);
+    pure-numpy/Python fallback with identical outputs (tests assert)."""
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    from .. import _native
+
+    ops = _native.fourstep_build(n, p, n1)
+    if ops is not None:
+        return ops
     from ..golden.ntt import negacyclic_twiddles
 
     twid_t, inv_twid_t = negacyclic_twiddles(p, n)
     twid = np.array(twid_t, dtype=np.uint64)
     inv_twid = np.array(inv_twid_t, dtype=np.uint64)
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    n2 = n // n1
-
     A = _col_matrix_fwd(n, n1, n2, twid, p)
     F, d = _row_ops_fwd(n, n1, n2, twid, p)
     G, e = _row_ops_inv(n, n1, n2, inv_twid, p)
     Ainv = _col_matrix_inv(n, n1, n2, inv_twid, p)
+    return {"A": A, "F": F, "d": d, "G": G, "e": e, "Ainv": Ainv}
+
+
+def _prep(M: np.ndarray, p: int, n_eplanes: int = 4):
+    """Digit-plane packing: native C++ when available, Python otherwise."""
+    from .. import _native
+
+    out = _native.prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
+    if out is not None:
+        return out
+    return _prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
+
+
+@lru_cache(maxsize=64)
+def _mxu_tables(n: int, p: int):
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    ops = _operators(n, p)
+    A, F, d = ops["A"], ops["F"], ops["d"]
+    G, e, Ainv = ops["G"], ops["e"], ops["Ainv"]
 
     def shoup(tbl):
         return ((tbl.astype(object) << 32) // p).astype(np.uint64).astype(np.uint32)
@@ -276,7 +305,7 @@ def _mxu_tables(n: int, p: int):
     # _matmod computes x @ planes (contraction over the input index), while the
     # operators are defined as out[r] = sum_i M[r, i] x[i] — store M transposed.
     for name, M in (("A", A.T), ("F", F.T), ("G", G.T), ("Ainv", Ainv.T)):
-        planes, cvec = _prep_matrix(np.ascontiguousarray(M), p)
+        planes, cvec = _prep(M, p)
         tables[name] = (planes, cvec)
 
     def scale_tabs(W):
@@ -434,7 +463,7 @@ def _wide_col_planes(n: int, p: int, n_limbs: int):
     n1 = 1 << (log2n // 2)
     n2 = n // n1
     A = _col_matrix_fwd(n, n1, n2, twid, p)
-    return _prep_matrix(np.ascontiguousarray(A.T), p, n_eplanes=4 * n_limbs)
+    return _prep(A.T, p, n_eplanes=4 * n_limbs)
 
 
 def fwd_wide(limbs: tuple, *, n: int, p: int):
@@ -466,7 +495,7 @@ def _scaled_ainv_planes(n: int, p: int, scale: int):
     n2 = n // n1
     Ainv = _col_matrix_inv(n, n1, n2, inv_twid, p)
     M = (Ainv.T.astype(object) * scale % p).astype(np.uint64)
-    return _prep_matrix(np.ascontiguousarray(M), p)
+    return _prep(M, p)
 
 
 def inv(x, *, n: int, p: int, scale: int = 1):
