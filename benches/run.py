@@ -1,0 +1,244 @@
+"""Criterion-equivalent benchmark suite (reference: benches/ntt.rs).
+
+Mirrors the reference's bench-id scheme exactly so results are comparable
+row-by-row with its Slab database entries (benches/ntt.rs:95-233):
+
+    fwd-32-{p}-{n}, inv-32-{p}-{n}         3 prime regimes x 8 sizes
+    fwd-64-{p}-{n}, inv-64-{p}-{n}         6 prime regimes x 8 sizes
+    native{32,64,128}-{32,52}-{n}          negacyclic_polymul per tier
+    nativebinary{32,64,128}-{32,52}-{n}
+
+The reference measures single-call latency on one core; the TPU unit of
+work is a batch, so each id reports amortized per-polynomial latency at
+batch B (default 16) plus polys/sec — the per-chip throughput analogue.
+Timing uses on-device lax.scan chains with fresh operands per step
+(chain-difference method; tunnel RTT cancels).
+
+Usage:
+    python benches/run.py            # representative subset (~fast)
+    python benches/run.py --full     # the reference's full grid
+    python benches/run.py --ids native64-32-16384 fwd-32-1073479681-16384
+Writes one JSON line per id to stdout and benchmarks/results.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 16
+K = 64
+
+FULL_NS = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
+QUICK_NS = [1024, 16384]
+
+
+def _chain_time(step, args, k=K, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    args = jax.tree_util.tree_map(jnp.asarray, args)  # on device BEFORE timing
+
+    def make(kk):
+        @jax.jit
+        def f(ops):
+            def body(carry, _):
+                return step(carry), None
+
+            out, _ = jax.lax.scan(body, ops, None, length=kk)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+
+        return f
+
+    fK, f1 = make(k), make(1)
+    _ = np.asarray(fK(args))
+    _ = np.asarray(f1(args))
+
+    def best_pair(fa, fb, r):
+        ba = bb = float("inf")
+        for _i in range(r):
+            t0 = time.perf_counter()
+            np.asarray(fa(args))
+            ba = min(ba, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(fb(args))
+            bb = min(bb, time.perf_counter() - t0)
+        return ba, bb
+
+    bK, b1 = best_pair(fK, f1, 2)
+    est = max(bK - b1, 1e-9) / (k - 1)
+    # adapt chain length so the measured work dwarfs tunnel RTT jitter
+    k2 = min(4096, max(k, int(0.03 / max(est, 1e-9))))
+    if k2 > k:
+        fK = make(k2)
+        _ = np.asarray(fK(args))
+        k = k2
+    bK, b1 = best_pair(fK, f1, reps)
+    return max(bK - b1, 1e-9) / (k - 1)
+
+
+def _prime_benches(ns):
+    """fwd/inv-32 and fwd/inv-64 ids (benches/ntt.rs:84-132)."""
+    from concrete_ntt_tpu import prime32, prime64
+    from concrete_ntt_tpu.utils.prime import (
+        largest_prime_in_arithmetic_progression64 as prime_in_ap,
+    )
+
+    rng = np.random.default_rng(0)
+    for n in ns:
+        ps32 = [
+            prime_in_ap(1 << 16, 1, 1 << 29, 1 << 30),
+            prime_in_ap(1 << 16, 1, 1 << 30, 1 << 31),
+            prime_in_ap(1 << 16, 1, 1 << 31, (1 << 32) - 1),
+        ]
+        for p in ps32:
+            plan = prime32.Plan.try_new(n, p)
+            if plan is None:
+                continue
+            x = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
+            yield f"fwd-32-{p}-{n}", (lambda pl: lambda a: pl.fwd(a))(plan), x
+            yield f"inv-32-{p}-{n}", (lambda pl: lambda a: pl.inv(a))(plan), x
+        ps64 = [
+            prime_in_ap(1 << 16, 1, 1 << 49, 1 << 50),
+            prime_in_ap(1 << 16, 1, 1 << 50, 1 << 51),
+            prime_in_ap(1 << 16, 1, 1 << 61, 1 << 62),
+            prime_in_ap(1 << 16, 1, 1 << 62, 1 << 63),
+            prime64.Solinas,
+            prime_in_ap(1 << 16, 1, 1 << 63, (1 << 64) - 1),
+        ]
+        for p in ps64:
+            plan = prime64.Plan.try_new(n, p)
+            if plan is None:
+                continue
+            from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
+
+            x = np_u64_to_limbs(rng.integers(0, p, (BATCH, n), dtype=np.uint64))
+            yield f"fwd-64-{p}-{n}", (lambda pl: lambda a: pl.fwd(a))(plan), x
+            yield f"inv-64-{p}-{n}", (lambda pl: lambda a: pl.inv(a))(plan), x
+
+
+def _native_benches(ns):
+    """native*/nativebinary* polymul ids (benches/ntt.rs:134-233)."""
+    from concrete_ntt_tpu import (
+        native32,
+        native64,
+        native128,
+        native_binary32,
+        native_binary64,
+        native_binary128,
+    )
+    from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs, np_u128_to_limbs
+
+    rng = np.random.default_rng(1)
+    fams = [
+        ("native32", native32, 32, False),
+        ("nativebinary32", native_binary32, 32, True),
+        ("native64", native64, 64, False),
+        ("nativebinary64", native_binary64, 64, True),
+        ("native128", native128, 128, False),
+        ("nativebinary128", native_binary128, 128, True),
+    ]
+    for n in ns:
+        for name, mod, width, binary in fams:
+            for tier, cls in (("32", "Plan32"), ("52", "Plan52")):
+                plan_cls = getattr(mod, cls, None)
+                if plan_cls is None:
+                    continue
+                plan = plan_cls.try_new(n)
+                if plan is None:
+                    continue
+                if width == 32:
+                    lhs = rng.integers(0, 1 << 32, (BATCH, n), dtype=np.uint64).astype(
+                        np.uint32
+                    )
+                    rhs_raw = rng.integers(0, 2 if binary else 1 << 32, (BATCH, n),
+                                           dtype=np.uint64).astype(np.uint32)
+                elif width == 64:
+                    lhs = np_u64_to_limbs(
+                        rng.integers(0, 1 << 64, (BATCH, n), dtype=np.uint64)
+                    )
+                    rhs_raw = np_u64_to_limbs(
+                        rng.integers(0, 2 if binary else 1 << 64, (BATCH, n),
+                                     dtype=np.uint64)
+                    )
+                else:
+                    vals = [
+                        [
+                            int(v)
+                            for v in rng.integers(0, 1 << 62, n, dtype=np.uint64)
+                        ]
+                        for _ in range(BATCH)
+                    ]
+                    lhs = np.stack([np_u128_to_limbs(v) for v in vals])
+                    rb = rng.integers(0, 2 if binary else 1 << 62, (BATCH, n),
+                                      dtype=np.uint64)
+                    rhs_raw = np.stack(
+                        [np_u128_to_limbs([int(v) for v in row]) for row in rb]
+                    )
+
+                def step(pl=plan, binary=binary):
+                    # two-element carry: both operands fresh every iteration
+                    # so XLA cannot hoist either fwd out of the scan. Binary
+                    # rhs stays {0,1} by rotating instead of reusing output.
+                    import jax.numpy as jnp
+
+                    def fn(carry):
+                        a, b = carry
+                        prod = pl.negacyclic_polymul(a, b, rhs_binary=binary)
+                        if binary:
+                            b2 = jax.tree_util.tree_map(
+                                lambda v: jnp.roll(v, 1, axis=1), b
+                            )
+                            return (prod, b2)
+                        return (prod, a)
+
+                    return fn
+
+                import jax
+
+                yield f"{name}-{tier}-{n}", step(), (lhs, rhs_raw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="reference's full n grid")
+    ap.add_argument("--ids", nargs="*", help="only run these bench ids")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.jsonl"))
+    args = ap.parse_args()
+    ns = FULL_NS if args.full else QUICK_NS
+
+    results = []
+    for bid, fn, x in list(_prime_benches(ns)) + list(_native_benches(ns)):
+        if args.ids and bid not in args.ids:
+            continue
+        try:
+            t = _chain_time(fn, x)
+        except Exception as exc:  # pragma: no cover - report and continue
+            print(json.dumps({"id": bid, "error": str(exc)[:200]}), flush=True)
+            continue
+        rec = {
+            "id": bid,
+            "batch": BATCH,
+            "ns_per_poly": round(t / BATCH * 1e9, 1),
+            "polys_per_sec": round(BATCH / t, 1),
+            "type": "latency",  # statistic surface parity: ci/benchmark_parser.py:151
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    with open(args.out, "w") as f:
+        for rec in results:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,17 +15,20 @@ from dataclasses import dataclass
 
 from ._native_common import NativePlanBase, build_plans32
 from .ops import crt as crt_ops
-from .tables import NATIVE128_PRIMES
+from .tables import NATIVE128_PRIMES, native_channel_primes
 
 
 @dataclass(frozen=True)
 class Plan32(NativePlanBase):
     @classmethod
     def try_new(cls, n: int) -> "Plan32 | None":
-        plans = build_plans32(n, NATIVE128_PRIMES)
+        primes = native_channel_primes(10, n)
+        if primes is None:
+            return None
+        plans = build_plans32(n, primes)
         if not plans:
             return None
-        return cls(n=n, width=128, primes=NATIVE128_PRIMES, plans=plans, tier="plan32")
+        return cls(n=n, width=128, primes=primes, plans=plans, tier="plan32")
 
     def _reconstruct(self, residues):
         return crt_ops.rec_u128_from10(residues, self.primes)

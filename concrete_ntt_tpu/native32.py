@@ -16,17 +16,20 @@ from dataclasses import dataclass
 
 from ._native_common import NativePlanBase, build_plans32, build_plans52
 from .ops import crt as crt_ops
-from .tables import NATIVE32_PRIMES, PRIMES52
+from .tables import NATIVE32_PRIMES, native_channel_primes, PRIMES52
 
 
 @dataclass(frozen=True)
 class Plan32(NativePlanBase):
     @classmethod
     def try_new(cls, n: int) -> "Plan32 | None":
-        plans = build_plans32(n, NATIVE32_PRIMES)
+        primes = native_channel_primes(3, n)
+        if primes is None:
+            return None
+        plans = build_plans32(n, primes)
         if not plans:
             return None
-        return cls(n=n, width=32, primes=NATIVE32_PRIMES, plans=plans, tier="plan32")
+        return cls(n=n, width=32, primes=primes, plans=plans, tier="plan32")
 
     def _reconstruct(self, residues):
         return crt_ops.rec_u32_from3(residues, self.primes)

@@ -8,19 +8,20 @@ from dataclasses import dataclass
 
 from ._native_common import NativePlanBase, build_plans32, build_plans52
 from .ops import crt as crt_ops
-from .tables import NATIVE_BINARY64_PRIMES, PRIMES52
+from .tables import NATIVE_BINARY64_PRIMES, native_channel_primes, PRIMES52
 
 
 @dataclass(frozen=True)
 class Plan32(NativePlanBase):
     @classmethod
     def try_new(cls, n: int) -> "Plan32 | None":
-        plans = build_plans32(n, NATIVE_BINARY64_PRIMES)
+        primes = native_channel_primes(3, n)
+        if primes is None:
+            return None
+        plans = build_plans32(n, primes)
         if not plans:
             return None
-        return cls(
-            n=n, width=64, primes=NATIVE_BINARY64_PRIMES, plans=plans, tier="plan32"
-        )
+        return cls(n=n, width=64, primes=primes, plans=plans, tier="plan32")
 
     def _reconstruct(self, residues):
         return crt_ops.rec_u64_from3(residues, self.primes)

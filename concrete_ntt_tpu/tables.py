@@ -113,6 +113,20 @@ NATIVE_BINARY64_PRIMES = PRIMES32[:3]
 NATIVE_BINARY128_PRIMES = PRIMES32[:5]
 
 
+def native_channel_primes(k: int, n: int) -> tuple[int, ...] | None:
+    """First k 30-bit CRT channel primes supporting transform size n.
+
+    n <= 2^15 uses the reference's table (≡ 1 mod 2^16, lib.rs:453-462);
+    n in (2^15, 2^17] uses the extended ≡ 1 (mod 2^18) family — a TPU-only
+    capability beyond the reference's N <= 2^15 cap (mul_poly_native.rs:5,
+    lib.rs:767-769). Returns None when n is out of range."""
+    if n <= (1 << 15):
+        return PRIMES32[:k]
+    if n <= (1 << 17):
+        return primes32_ext()[:k]
+    return None
+
+
 def crt_constants(primes: tuple[int, ...]) -> dict:
     """Host-side CRT reconstruction constants for a prime tuple.
 

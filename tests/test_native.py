@@ -177,5 +177,9 @@ def test_binary_fwd_binary_skips_reduction(rng):
 
 
 def test_try_new_invalid_n():
-    assert native64.Plan32.try_new(1 << 16) is None  # 2n ∤ p-1 for the table
+    # The reference caps N at 2^15 (primes ≡ 1 mod 2^16, lib.rs:767-769);
+    # the TPU build extends to 2^17 via the ≡ 1 (mod 2^18) family and
+    # fails beyond that.
+    assert native64.Plan32.try_new(1 << 16) is not None
+    assert native64.Plan32.try_new(1 << 18) is None
     assert native64.Plan32.try_new(48) is None
