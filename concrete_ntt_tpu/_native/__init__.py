@@ -42,9 +42,11 @@ def _build() -> bool:
 def lib():
     """The loaded CDLL, or None when native is unavailable/disabled."""
     global _lib, _lib_failed
+    if os.environ.get("CONCRETE_NTT_TPU_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
-    if _lib_failed or os.environ.get("CONCRETE_NTT_TPU_NO_NATIVE"):
+    if _lib_failed:
         return None
     with _lock:
         if _lib is not None:
@@ -87,6 +89,17 @@ def lib():
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_uint64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        L.ntt_prep_matrix_d.restype = ctypes.c_int
+        L.ntt_prep_matrix_d.argtypes = [
+            u64p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_uint64,
+            ctypes.c_int64,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int8),
             ctypes.POINTER(ctypes.c_int32),
@@ -152,21 +165,22 @@ def fourstep_build(n: int, p: int, n1: int):
     return {"A": A, "F": F, "d": d, "G": G, "e": e, "Ainv": Ainv}
 
 
-def prep_matrix(M: np.ndarray, p: int, n_eplanes: int = 4):
-    """(planes int8 [E*K, 4*O], cvec int32 [4, O]), or None if unavailable."""
+def prep_matrix(M: np.ndarray, p: int, n_eplanes: int = 4, n_dplanes: int = 4):
+    """(planes int8 [E*K, D*O], cvec int32 [D, O]), or None if unavailable."""
     L = lib()
     if L is None:
         return None
     K, O = M.shape
     M = np.ascontiguousarray(M, dtype=np.uint64)
-    planes = np.zeros((n_eplanes * K, 4 * O), dtype=np.int8)
-    cvec = np.zeros((4, O), dtype=np.int32)
-    st = L.ntt_prep_matrix(
+    planes = np.zeros((n_eplanes * K, n_dplanes * O), dtype=np.int8)
+    cvec = np.zeros((n_dplanes, O), dtype=np.int32)
+    st = L.ntt_prep_matrix_d(
         _u64p(M),
         K,
         O,
         p,
         n_eplanes,
+        n_dplanes,
         planes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         cvec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )

@@ -30,6 +30,17 @@ static inline u64 mulmod(u64 a, u64 b, u64 p) {
     return (u64)(((u128)a * b) % p);
 }
 
+// overflow-safe (a + b) mod p and (a - b) mod p for a, b in [0, p), any p < 2^64
+static inline u64 addmod(u64 a, u64 b, u64 p) {
+    u64 s = a + b;
+    if (s < a) return s - p;  // wrapped: true sum = s + 2^64, result = s + (2^64 - p)
+    return s >= p ? s - p : s;
+}
+
+static inline u64 submod(u64 a, u64 b, u64 p) {
+    return a >= b ? a - b : a - b + p;  // wrapping add of p is exact
+}
+
 static inline u64 powmod(u64 a, u64 e, u64 p) {
     u64 r = 1 % p;
     a %= p;
@@ -167,8 +178,8 @@ static void fwd_stages(u64* data, i64 rows, i64 n, const u64* twid, u64 p,
                 for (i64 j = 0; j < t; j++) {
                     u64 z0 = blk[j], z1 = blk[j + t];
                     u64 wz1 = mulmod(z1, w, p);
-                    blk[j] = (z0 + wz1) % p;
-                    blk[j + t] = (z0 + p - wz1) % p;
+                    blk[j] = addmod(z0, wz1, p);
+                    blk[j + t] = submod(z0, wz1, p);
                 }
             }
         }
@@ -187,8 +198,8 @@ static void inv_stages(u64* data, i64 rows, i64 n, const u64* inv_twid, u64 p,
                 u64* blk = row + i * 2 * t;
                 for (i64 j = 0; j < t; j++) {
                     u64 z0 = blk[j], z1 = blk[j + t];
-                    blk[j] = (z0 + z1) % p;
-                    blk[j + t] = mulmod((z0 + p - z1) % p, w, p);
+                    blk[j] = addmod(z0, z1, p);
+                    blk[j + t] = mulmod(submod(z0, z1, p), w, p);
                 }
             }
         }
@@ -288,12 +299,13 @@ int ntt_fourstep_build(u64 p, i64 n, i64 n1, u64* A, u64* F, u64* d, u64* G,
     return 0;
 }
 
-// int8 digit-plane packing (exactly ops/mxu32.py _prep_matrix):
-// M[K*O] u64 (mod p) -> planes[(E*K) * (4*O)] int8, cvec[4*O] int32.
-// Returns 0 on success; nonzero = digit/constant overflow.
-int ntt_prep_matrix(const u64* M, i64 K, i64 O, u64 p, i64 E, int8_t* planes,
-                    int32_t* cvec) {
-    i64* csum = new i64[4 * O]();
+// int8 digit-plane packing (exactly ops/mxu32.py _prep_matrix, generalized):
+// M[K*O] u64 (mod p) -> planes[(E*K) * (D*O)] int8, cvec[D*O] int32.
+// E = operand digit planes, D = matrix digit planes (4 for p < 2^31,
+// 8 for p < 2^62). Returns 0 on success; nonzero = digit/constant overflow.
+int ntt_prep_matrix_d(const u64* M, i64 K, i64 O, u64 p, i64 E, i64 D,
+                      int8_t* planes, int32_t* cvec) {
+    i64* csum = new i64[D * O]();
     u64* Me = new u64[K * O];
     std::memcpy(Me, M, sizeof(u64) * K * O);
     for (i64 ee = 0; ee < E; ee++) {
@@ -301,18 +313,20 @@ int ntt_prep_matrix(const u64* M, i64 K, i64 O, u64 p, i64 E, int8_t* planes,
             for (i64 t = 0; t < K * O; t++) Me[t] = (u64)(((u128)Me[t] << 8) % p);
         for (i64 kk = 0; kk < K; kk++)
             for (i64 oo = 0; oo < O; oo++) {
-                i64 v = (i64)Me[kk * O + oo];
-                if ((u64)v > p / 2) v -= (i64)p;
-                for (int dd = 0; dd < 4; dd++) {
+                // centered representative; compare in u64 first (p may
+                // exceed 2^63, e.g. Goldilocks)
+                u64 raw = Me[kk * O + oo];
+                i64 v = (raw > p / 2) ? (i64)(raw - p) : (i64)raw;
+                for (i64 dd = 0; dd < D; dd++) {
                     i64 r = ((v + 128) & 255) - 128;
-                    planes[(ee * K + kk) * (4 * O) + dd * O + oo] = (int8_t)r;
+                    planes[(ee * K + kk) * (D * O) + dd * O + oo] = (int8_t)r;
                     csum[dd * O + oo] += 128 * r;
                     v = (v - r) >> 8;
                 }
                 if (v != 0) { delete[] csum; delete[] Me; return 1; }
             }
     }
-    for (i64 t = 0; t < 4 * O; t++) {
+    for (i64 t = 0; t < D * O; t++) {
         i64 c = csum[t];
         if (c <= -(1ll << 27) || c >= (1ll << 27)) { delete[] csum; delete[] Me; return 2; }
         cvec[t] = (int32_t)(c + (1ll << 27));
@@ -320,6 +334,11 @@ int ntt_prep_matrix(const u64* M, i64 K, i64 O, u64 p, i64 E, int8_t* planes,
     delete[] csum;
     delete[] Me;
     return 0;
+}
+
+int ntt_prep_matrix(const u64* M, i64 K, i64 O, u64 p, i64 E, int8_t* planes,
+                    int32_t* cvec) {
+    return ntt_prep_matrix_d(M, K, O, p, E, 4, planes, cvec);
 }
 
 }  // extern "C"

@@ -1,0 +1,428 @@
+"""MXU (int8 systolic-array) four-step engine for the prime64 NTT.
+
+Same architecture as ops/mxu32.py — the stage loop collapses into two shared
+modular matrix products (column matrix A, input-side diagonal d, row matrix
+F; inverse mirrored) — extended to 64-bit moduli:
+
+  * matrix entries are centered to (-p/2, p/2] and balanced-decomposed into
+    EIGHT radix-2^8 int8 digit planes (p < 2^63);
+  * operands are u64 limb pairs split into 8 unsigned digit planes (wide
+    u128 operands: 16), so the residue split folds into the matmul exactly
+    as in the 32-bit engine;
+  * the int32 accumulators recombine into a THREE-u32-limb value V
+    (< 2^85), folded to a 64-bit representative with one Shoup multiply of
+    the top limb by 2^64 mod p (Goldilocks: 2^64 ≡ 2^32 - 1, shift/adds
+    only — generic_solinas.rs:103-128's fold, vectorized);
+  * the four-step diagonal (and any user scale) applies via one Montgomery
+    multiply against pre-Montgomery'd tables — representatives stay lazy
+    (any u64) through the whole pipeline; only the final epilogue reduces
+    canonically (Lemire magic division, screened exact — lib.rs:416-445).
+
+Supported moduli: p < 2^62 with an exact u64 magic constant (covers the
+52-bit table primes and the reference bench regimes p≈2^50/2^51/2^61), and
+the Goldilocks prime 2^64 - 2^32 + 1 (prime64::Solinas). Other regimes fall
+back to the XLA stage engine.
+
+Results are bit-identical to prime64.Plan's stage engine (tests).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import GOLDILOCKS
+from ..utils.fastdiv import magic_u64
+from .u32 import (
+    add64,
+    add64c,
+    cond_sub64,
+    const64_like,
+    mont_mul64,
+    mont_neginv64,
+    mulhi64,
+    mullo64,
+    select64,
+    shoup_mul_lazy64,
+    sub64,
+    sub64b,
+)
+
+def _off(n_d: int) -> int:
+    return sum((1 << 27) << (8 * dd) for dd in range(n_d))
+
+
+def _n_dplanes(p: int) -> int:
+    # balanced radix-256 digits of the centered matrix (|v| <= p/2):
+    # 8 planes cover |v| < ~2^62.99; Goldilocks (p/2 ~ 2^63) needs 9.
+    return 8 if p < (1 << 62) else 9
+
+
+def applicable(n: int, p: int) -> bool:
+    if n < 2048 or (n & (n - 1)) != 0:
+        return False
+    if p == GOLDILOCKS:
+        return True
+    return p % 2 == 1 and (1 << 33) < p < (1 << 62) and magic_u64(p).exact_for_u64
+
+
+# ---------------------------------------------------------------------------
+# Table construction (native C++ builder; object-dtype Python fallback)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stage_range_obj(data, twid, p, s0, s1):
+    rows, n = data.shape
+    for s in range(s0, s1):
+        m = 1 << s
+        t = n >> (s + 1)
+        v = data.reshape(rows, m, 2, t)
+        z0 = v[:, :, 0, :].copy()
+        z1 = v[:, :, 1, :]
+        wz1 = z1 * twid[m : 2 * m][None, :, None] % p
+        v[:, :, 0, :] = (z0 + wz1) % p
+        v[:, :, 1, :] = (z0 - wz1) % p
+    return data
+
+
+def _inv_stage_range_obj(data, inv_twid, p, s_hi, s_lo):
+    rows, n = data.shape
+    for s in range(s_hi - 1, s_lo - 1, -1):
+        m = 1 << s
+        t = n >> (s + 1)
+        v = data.reshape(rows, m, 2, t)
+        z0 = v[:, :, 0, :].copy()
+        z1 = v[:, :, 1, :]
+        v[:, :, 0, :] = (z0 + z1) % p
+        v[:, :, 1, :] = (z0 - z1) * inv_twid[m : 2 * m][None, :, None] % p
+    return data
+
+
+@lru_cache(maxsize=32)
+def _operators(n: int, p: int):
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    from .. import _native
+
+    ops = _native.fourstep_build(n, p, n1)
+    if ops is not None:
+        return ops
+    # object-dtype fallback (exact bigints; small n / tests only)
+    from ..golden.ntt import negacyclic_twiddles
+
+    twid_t, inv_twid_t = negacyclic_twiddles(p, n)
+    twid = np.array(twid_t, dtype=object)
+    inv_twid = np.array(inv_twid_t, dtype=object)
+    k = n1.bit_length() - 1
+
+    def basis_cols(stages_fn):
+        out = np.zeros((n1, n1), dtype=object)
+        for col in range(2):
+            basis = np.zeros((n1, n), dtype=object)
+            for i in range(n1):
+                basis[i, i * n2 + col] = 1
+            res = stages_fn(basis)
+            cur = res[:, col::n2].T
+            if col == 0:
+                out = cur.copy()
+            else:
+                assert (cur == out).all(), "column dependence"
+        return out.astype(np.uint64)
+
+    A = basis_cols(lambda b: _fwd_stage_range_obj(b, twid, p, 0, k))
+    Ainv = basis_cols(lambda b: _inv_stage_range_obj(b, inv_twid, p, k, 0))
+
+    def row_ops(stages_fn, out_diag_side):
+        B = np.zeros((n1, n2, n2), dtype=object)  # [r, kappa, j]
+        for j in range(n2):
+            data = np.zeros((1, n), dtype=object)
+            data[0].reshape(n1, n2)[:, j] = 1
+            res = stages_fn(data)
+            B[:, :, j] = res[0].reshape(n1, n2)
+        M = B[0].copy()
+        diag = np.zeros((n1, n2), dtype=object)
+        for r in range(n1):
+            if out_diag_side == "input":
+                for j in range(n2):
+                    diag[r, j] = B[r, 0, j] * pow(int(M[0, j]), p - 2, p) % p
+                    for kap in range(n2):
+                        assert B[r, kap, j] == M[kap, j] * diag[r, j] % p
+            else:
+                for kap in range(n2):
+                    diag[r, kap] = B[r, kap, 0] * pow(int(M[kap, 0]), p - 2, p) % p
+                    for j in range(n2):
+                        assert B[r, kap, j] == diag[r, kap] * M[kap, j] % p
+        return M.astype(np.uint64), diag.astype(np.uint64)
+
+    F, d = row_ops(lambda b: _fwd_stage_range_obj(b, twid, p, k, log2n), "input")
+    G, e = row_ops(
+        lambda b: _inv_stage_range_obj(b, inv_twid, p, log2n, k), "output"
+    )
+    return {"A": A, "F": F, "d": d, "G": G, "e": e, "Ainv": Ainv}
+
+
+def _prep_matrix64_py(M: np.ndarray, p: int, n_eplanes: int, n_d: int):
+    """Python fallback of the wide digit-plane packer (exact, slow)."""
+    K, O = M.shape
+    planes = np.zeros((n_eplanes * K, n_d * O), dtype=np.int8)
+    csum = np.zeros((n_d, O), dtype=np.int64)
+    Me = M.astype(object)
+    for ee in range(n_eplanes):
+        if ee > 0:
+            Me = (Me << 8) % p
+        Mc = np.array(
+            [[int(v) - p if int(v) > p // 2 else int(v) for v in row] for row in Me],
+            dtype=np.int64,
+        )
+        rem = Mc.copy()
+        for dd in range(n_d):
+            r = ((rem + 128) & 255) - 128
+            planes[ee * K : (ee + 1) * K, dd * O : (dd + 1) * O] = r.astype(np.int8)
+            csum[dd] += 128 * r.sum(axis=0)
+            rem = (rem - r) >> 8
+        assert (rem == 0).all()
+    cvec = (csum + (1 << 27)).astype(np.int32)
+    assert np.abs(csum).max() < (1 << 27)
+    return planes, cvec
+
+
+def _prep64(M: np.ndarray, p: int, n_eplanes: int = 8):
+    n_d = _n_dplanes(p)
+    from .. import _native
+
+    out = _native.prep_matrix(
+        np.ascontiguousarray(M, dtype=np.uint64), p, n_eplanes, n_d
+    )
+    if out is not None:
+        return out
+    return _prep_matrix64_py(np.ascontiguousarray(M), p, n_eplanes, n_d)
+
+
+def _mont_tables(W: np.ndarray, p: int):
+    """(W*2^64 mod p, OFF8*W mod p) as little-endian u32 limb-pair arrays —
+    the Montgomery'd diagonal and the sign-offset correction."""
+    Wt = (W.astype(object) << 64) % p
+    K = (W.astype(object) * (_off(_n_dplanes(p)) % p)) % p
+
+    def split(a):
+        a = a.astype(object)
+        return (
+            (a & 0xFFFFFFFF).astype(np.uint64).astype(np.uint32),
+            (a >> 32).astype(np.uint64).astype(np.uint32),
+        )
+
+    return split(Wt) + split(K)
+
+
+@lru_cache(maxsize=32)
+def _tables(n: int, p: int):
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    ops = _operators(n, p)
+    c64 = (1 << 64) % p
+    tbl = {
+        "n1": n1,
+        "n2": n2,
+        "p": p,
+        "goldilocks": p == GOLDILOCKS,
+        "c64": c64,
+        "c64_shoup": (c64 << 64) // p,
+        "p_neginv": mont_neginv64(p),
+        "n_d": _n_dplanes(p),
+        "off_mod_p": _off(_n_dplanes(p)) % p,
+        "A": _prep64(ops["A"].T, p, 8),
+        "F": _prep64(ops["F"].T, p, 8),
+        "Ainv": _prep64(ops["Ainv"].T, p, 8),
+        "G": _prep64(ops["G"].T, p, 8),
+        "d": _mont_tables(ops["d"].T, p),  # fwd mid layout [n2, n1]
+        "e": _mont_tables(ops["e"], p),  # inv mid layout [n1, n2]
+    }
+    if not tbl["goldilocks"]:
+        m = magic_u64(p)
+        assert m.exact_for_u64
+        tbl["magic"] = m.magic
+        tbl["magic_shift"] = m.shift
+    return tbl
+
+
+@lru_cache(maxsize=32)
+def _wide_col_planes(n: int, p: int, n_limbs: int):
+    ops = _operators(n, p)
+    return _prep64(ops["A"].T, p, 4 * n_limbs)
+
+
+@lru_cache(maxsize=64)
+def _scaled_ainv_planes(n: int, p: int, scale: int):
+    ops = _operators(n, p)
+    M = (ops["Ainv"].T.astype(object) * scale % p).astype(np.uint64)
+    return _prep64(M, p, 8)
+
+
+# ---------------------------------------------------------------------------
+# Device pipeline
+# ---------------------------------------------------------------------------
+
+
+def _digit_cat(limbs: tuple):
+    parts = []
+    for limb in limbs:
+        for ee in range(4):
+            dig = ((limb >> np.uint32(8 * ee)) & np.uint32(255)).astype(jnp.int32)
+            parts.append((dig - 128).astype(jnp.int8))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _dot(xd, planes):
+    return jax.lax.dot_general(
+        xd, planes, (((xd.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _combine8(big, cvec, o, n_d=8):
+    """int32 accumulators [..., D*O] -> 3 u32 limbs of V = result + OFF."""
+    bshape = (1,) * (big.ndim - 1) + (-1,)
+    u = [
+        (big[..., dd * o : (dd + 1) * o] + cvec[dd].reshape(bshape)).astype(jnp.uint32)
+        for dd in range(n_d)
+    ]
+    t1, t2, t3 = u[1] << np.uint32(8), u[2] << np.uint32(16), u[3] << np.uint32(24)
+    s1 = u[0] + t1
+    c1 = (s1 < t1).astype(jnp.uint32)
+    s2 = s1 + t2
+    c2 = (s2 < t2).astype(jnp.uint32)
+    v0 = s2 + t3
+    c3 = (v0 < t3).astype(jnp.uint32)
+    h0 = (u[1] >> np.uint32(24)) + (u[2] >> np.uint32(16)) + (u[3] >> np.uint32(8))
+    t5, t6, t7 = u[5] << np.uint32(8), u[6] << np.uint32(16), u[7] << np.uint32(24)
+    s4 = h0 + c1 + c2 + c3 + u[4]  # < 2^28 + 2^23: no wrap
+    s5 = s4 + t5
+    d1 = (s5 < t5).astype(jnp.uint32)
+    s6 = s5 + t6
+    d2 = (s6 < t6).astype(jnp.uint32)
+    v1 = s6 + t7
+    d3 = (v1 < t7).astype(jnp.uint32)
+    v2 = (u[5] >> np.uint32(24)) + (u[6] >> np.uint32(16)) + (u[7] >> np.uint32(8))
+    v2 = v2 + d1 + d2 + d3
+    if n_d == 9:
+        v2 = v2 + u[8]  # digit 8 sits at bit 64 exactly
+    return v0, v1, v2
+
+
+def _fold3to2(v0, v1, v2, tbl):
+    """(v0, v1, v2) -> 64-bit limb-pair representative of the same residue."""
+    p = tbl["p"]
+    if tbl["goldilocks"]:
+        # v2 * 2^64 ≡ v2 * (2^32 - 1): t = (v2 << 32) - v2
+        nz = (v2 != 0).astype(jnp.uint32)
+        t = (jnp.zeros_like(v2) - v2, v2 - nz)
+        s, carry = add64c((v0, v1), t)
+        # + carry * (2^32 - 1)
+        comp = (carry * np.uint32(0xFFFFFFFF), jnp.zeros_like(carry))
+        s = add64(s, comp)
+        return s
+    t = shoup_mul_lazy64(
+        (v2, jnp.zeros_like(v2)),
+        const64_like(tbl["c64"]),
+        const64_like(tbl["c64_shoup"]),
+        p,
+    )  # [0, 2p), p < 2^62
+    s, carry = add64c((v0, v1), t)
+    comp = (
+        carry * np.uint32(tbl["c64"] & 0xFFFFFFFF),
+        carry * np.uint32(tbl["c64"] >> 32),
+    )
+    return add64(s, comp)  # no re-wrap: wrapped s < 2p, + c64 < 3p < 2^64
+
+
+def _scale_mont(rep, mont_tab, tbl):
+    """(rep - OFF8) * W mod p as a lazy 64-bit representative.
+
+    mont_tab = (Wt_lo, Wt_hi, K_lo, K_hi) with Wt = W*2^64 mod p (so the
+    Montgomery factor cancels) and K = OFF8*W mod p (sign-offset fold)."""
+    wt_lo, wt_hi, k_lo, k_hi = (jnp.asarray(a)[None] for a in mont_tab)
+    y = mont_mul64(rep, (wt_lo, wt_hi), tbl["p"], tbl["p_neginv"])
+    diff, borrow = sub64b(y, (k_lo, k_hi))
+    c64 = const64_like(tbl["c64"])
+    corr = (borrow.astype(jnp.uint32) * c64[0], borrow.astype(jnp.uint32) * c64[1])
+    return sub64(diff, corr)  # wrapped diff > 2^63 >> c64: no re-borrow
+
+
+def _shr64(pair, s: int):
+    lo, hi = pair
+    if s == 0:
+        return pair
+    if s < 32:
+        return (lo >> np.uint32(s)) | (hi << np.uint32(32 - s)), hi >> np.uint32(s)
+    if s == 32:
+        return hi, jnp.zeros_like(hi)
+    return hi >> np.uint32(s - 32), jnp.zeros_like(hi)
+
+
+def _canonical(v0, v1, v2, tbl):
+    """3-limb V = true + OFF8 -> canonical (true mod p) as a limb pair."""
+    p = tbl["p"]
+    rep = _fold3to2(v0, v1, v2, tbl)
+    if tbl["goldilocks"]:
+        r = cond_sub64(rep, p)  # rep < 2^64 < 2p
+    else:
+        q = _shr64(mulhi64(rep, const64_like(tbl["magic"])), tbl["magic_shift"])
+        r = sub64(rep, mullo64(q, const64_like(p)))
+        r = cond_sub64(r, p)
+    # subtract OFF8 mod p (both canonical now)
+    off = tbl["off_mod_p"]
+    d, borrow = sub64b(r, const64_like(off))
+    return select64(borrow, add64(d, const64_like(p)), d)
+
+
+def _matmod_scaled_lazy(limbs, mat, mont_tab, tbl):
+    planes, cvec = (jnp.asarray(a) for a in mat)
+    o = mat[0].shape[1] // tbl["n_d"]
+    big = _dot(_digit_cat(limbs), planes)
+    v0, v1, v2 = _combine8(big, cvec, o, tbl["n_d"])
+    rep = _fold3to2(v0, v1, v2, tbl)
+    return _scale_mont(rep, mont_tab, tbl)
+
+
+def _matmod_canonical(limbs, mat, tbl):
+    planes, cvec = (jnp.asarray(a) for a in mat)
+    o = mat[0].shape[1] // tbl["n_d"]
+    big = _dot(_digit_cat(limbs), planes)
+    v0, v1, v2 = _combine8(big, cvec, o, tbl["n_d"])
+    return _canonical(v0, v1, v2, tbl)
+
+
+def _t(pair):
+    return tuple(a.transpose(0, 2, 1) for a in pair)
+
+
+def fwd(limbs: tuple, *, n: int, p: int):
+    """Forward negacyclic NTT of u64 limb-pair [B, n] arrays (or wider limb
+    tuples — the residue split folds into the column matmul). Returns
+    (lo, hi) canonical [0, p) limb pairs in bit-reversed order."""
+    tbl = _tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = limbs[0].shape[0]
+    mat1 = tbl["A"] if len(limbs) == 2 else _wide_col_planes(n, p, len(limbs))
+    v = tuple(a.reshape(b, n1, n2).transpose(0, 2, 1) for a in limbs)
+    y = _matmod_scaled_lazy(v, mat1, tbl["d"], tbl)  # [B, n2, n1] lazy u64
+    y = _t(y)  # [B, n1, n2]
+    out = _matmod_canonical(y, tbl["F"], tbl)
+    return tuple(a.reshape(b, n) for a in out)
+
+
+def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
+    """Inverse negacyclic NTT (unnormalized; optional folded scale)."""
+    tbl = _tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = limbs[0].shape[0]
+    v = tuple(a.reshape(b, n1, n2) for a in limbs)
+    y = _matmod_scaled_lazy(v, tbl["G"], tbl["e"], tbl)  # [B, n1, n2] lazy
+    y = _t(y)  # [B, n2, n1]
+    mat2 = tbl["Ainv"] if scale == 1 else _scaled_ainv_planes(n, p, scale % p)
+    out = _matmod_canonical(y, mat2, tbl)
+    return tuple(a.transpose(0, 2, 1).reshape(b, n) for a in out)

@@ -156,6 +156,34 @@ def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
     return eng.inv_multi(t, primes, scales)
 
 
+def _mxu64_wanted(n, p) -> bool:
+    from . import mxu64
+
+    if not mxu64.applicable(n, p):
+        return False
+    eng = _engine()
+    if eng == "mxu":
+        return True
+    return eng == "auto" and _on_tpu()
+
+
+def try_fwd64(limbs, n, p):
+    """MXU four-step forward for prime64 (u64 limb pairs); None if N/A."""
+    if not _mxu64_wanted(n, p):
+        return None
+    from . import mxu64
+
+    return mxu64.fwd(limbs, n=n, p=p)
+
+
+def try_inv64(limbs, n, p, scale: int = 1):
+    if not _mxu64_wanted(n, p):
+        return None
+    from . import mxu64
+
+    return mxu64.inv(limbs, n=n, p=p, scale=scale)
+
+
 def fwd32(x, tbl, *, p, variant, p_neginv):
     n = x.shape[-1]
     if _mxu_wanted(n, p, variant):

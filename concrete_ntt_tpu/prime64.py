@@ -220,13 +220,25 @@ class Plan:
 
     def fwd(self, x):
         lo, hi, lead, u64 = self._to_limbs(x)
-        lo, hi = _transform(lo, hi, self._twid_parts("fwd"), p=self.p, direction="fwd")
-        return self._from_limbs(lo, hi, lead, u64)
+        from .ops import ntt_dispatch
+
+        out = ntt_dispatch.try_fwd64((lo, hi), self.n, self.p)
+        if out is None:
+            out = _transform(
+                lo, hi, self._twid_parts("fwd"), p=self.p, direction="fwd"
+            )
+        return self._from_limbs(out[0], out[1], lead, u64)
 
     def inv(self, x):
         lo, hi, lead, u64 = self._to_limbs(x)
-        lo, hi = _transform(lo, hi, self._twid_parts("inv"), p=self.p, direction="inv")
-        return self._from_limbs(lo, hi, lead, u64)
+        from .ops import ntt_dispatch
+
+        out = ntt_dispatch.try_inv64((lo, hi), self.n, self.p)
+        if out is None:
+            out = _transform(
+                lo, hi, self._twid_parts("inv"), p=self.p, direction="inv"
+            )
+        return self._from_limbs(out[0], out[1], lead, u64)
 
     # -- elementwise ops (prime64.rs:944-1129) --------------------------------
 
