@@ -148,10 +148,12 @@ class NativePlanBase:
         """value array [..., n] → NTT-domain residues [k, ..., n(, 2)]."""
         parts, lead, _ = _marshal_in(x, self.width, self.n)
         residues = None
-        if self.tier == "plan32":
-            from .ops import ntt_dispatch
+        from .ops import ntt_dispatch
 
+        if self.tier == "plan32":
             residues = ntt_dispatch.try_fwd32_wide_all(parts, self.plans)
+        else:
+            residues = ntt_dispatch.try_fwd64_wide_all(parts, self.plans)
         if residues is None:
             residues = self._split(parts)
             residues = [
@@ -194,12 +196,14 @@ class NativePlanBase:
         """Per-channel pointwise·n^-1 then inverse NTT → standard-order
         residue list (fused on the MXU engine: bare Montgomery pointwise with
         the 2^32 and n^-1 factors folded into the inverse column matrix)."""
-        if self.tier == "plan32":
-            from .ops import ntt_dispatch
+        from .ops import ntt_dispatch
 
+        if self.tier == "plan32":
             fused = ntt_dispatch.try_pointwise_inv32_all(fl_arr, fr_arr, self.plans)
-            if fused is not None:
-                return fused
+        else:
+            fused = ntt_dispatch.try_pointwise_inv64_all(fl_arr, fr_arr, self.plans)
+        if fused is not None:
+            return fused
         residues = []
         for i, plan in enumerate(self.plans):
             if self.tier == "plan32":

@@ -184,6 +184,45 @@ def try_inv64(limbs, n, p, scale: int = 1):
     return mxu64.inv(limbs, n=n, p=p, scale=scale)
 
 
+def try_fwd64_wide_all(parts, plans):
+    """Fused residue-split + forward NTT for a CRT plan's prime64 (Plan52)
+    channels: mxu64 accepts ANY u64 representative, so the per-coefficient
+    `mod p` split (split_u64_to_p50) disappears. Returns a list of
+    per-channel (lo, hi) NTT-domain residues, or None."""
+    n = parts[0].shape[-1]
+    if not all(_mxu64_wanted(n, pl.p) for pl in plans):
+        return None
+    if len(parts) > 2:
+        return None  # u128 inputs keep the explicit split path
+    from . import mxu64
+
+    limbs = tuple(parts) if len(parts) == 2 else (parts[0], jnp.zeros_like(parts[0]))
+    return [mxu64.fwd(limbs, n=n, p=pl.p) for pl in plans]
+
+
+def try_pointwise_inv64_all(fl, fr, plans):
+    """Fused Montgomery pointwise + scaled inverse for Plan52 channels.
+    fl, fr: [k, B, n, 2] stacked limb arrays. Returns per-channel (lo, hi)
+    standard-order residues, or None."""
+    n = fl.shape[-2]
+    if not all(_mxu64_wanted(n, pl.p) for pl in plans):
+        return None
+    from . import mxu64
+    from .u32 import mont_mul64, mont_neginv64
+
+    outs = []
+    for i, pl in enumerate(plans):
+        prod = mont_mul64(
+            (fl[i, ..., 0], fl[i, ..., 1]),
+            (fr[i, ..., 0], fr[i, ..., 1]),
+            pl.p,
+            mont_neginv64(pl.p),
+        )
+        scale = pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p
+        outs.append(mxu64.inv(prod, n=n, p=pl.p, scale=scale))
+    return outs
+
+
 def fwd32(x, tbl, *, p, variant, p_neginv):
     n = x.shape[-1]
     if _mxu_wanted(n, p, variant):
