@@ -103,3 +103,26 @@ def test_fourstep_rejects_tiny_n(cpu_mesh_devices):
     plan = prime32.Plan.new(16, PRIMES32[0])
     with pytest.raises(ValueError):
         make_sharded_prime32(plan, mesh)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_fourstep_mxu_matches_single_chip(sp, rng, cpu_mesh_devices, monkeypatch):
+    from concrete_ntt_tpu.parallel.fourstep_mxu import make_sharded_prime32_mxu
+
+    n, p = 4096, PRIMES32[0]
+    mesh = _mesh((8 // sp, sp), ("dp", "sp"))
+    plan = prime32.Plan.new(n, p)
+    fwd, inv, to_dist, from_dist = make_sharded_prime32_mxu(
+        plan, mesh, axis="sp", batch_axis="dp"
+    )
+    x = rng.integers(0, p, (4, n)).astype(np.uint32)
+    got = np.asarray(from_dist(fwd(to_dist(jnp.asarray(x)))))
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    want = np.asarray(plan.fwd(x))
+    np.testing.assert_array_equal(got, want)
+    back = np.asarray(from_dist(inv(to_dist(jnp.asarray(want)))))
+    np.testing.assert_array_equal(back, np.asarray(plan.inv(want)))
+    rt = np.asarray(from_dist(inv(fwd(to_dist(jnp.asarray(x))))))
+    np.testing.assert_array_equal(
+        rt, (x.astype(np.uint64) * np.uint64(n) % np.uint64(p)).astype(np.uint32)
+    )
