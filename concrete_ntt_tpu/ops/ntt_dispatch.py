@@ -167,21 +167,30 @@ def _mxu64_wanted(n, p) -> bool:
     return eng == "auto" and _on_tpu()
 
 
+def _mxu64_impl(n):
+    """Fused-Pallas mxu64 on TPU (n with both four-step factors >= 128);
+    pure-XLA mxu64 elsewhere. Bit-identical."""
+    if _on_tpu():
+        from . import mxu64_pallas
+
+        if mxu64_pallas.fused_applicable(n):
+            return mxu64_pallas
+    from . import mxu64
+
+    return mxu64
+
+
 def try_fwd64(limbs, n, p):
     """MXU four-step forward for prime64 (u64 limb pairs); None if N/A."""
     if not _mxu64_wanted(n, p):
         return None
-    from . import mxu64
-
-    return mxu64.fwd(limbs, n=n, p=p)
+    return _mxu64_impl(n).fwd(limbs, n=n, p=p)
 
 
 def try_inv64(limbs, n, p, scale: int = 1):
     if not _mxu64_wanted(n, p):
         return None
-    from . import mxu64
-
-    return mxu64.inv(limbs, n=n, p=p, scale=scale)
+    return _mxu64_impl(n).inv(limbs, n=n, p=p, scale=scale)
 
 
 def try_fwd64_wide_all(parts, plans):
@@ -194,10 +203,10 @@ def try_fwd64_wide_all(parts, plans):
         return None
     if len(parts) > 2:
         return None  # u128 inputs keep the explicit split path
-    from . import mxu64
+    eng = _mxu64_impl(n)
 
     limbs = tuple(parts) if len(parts) == 2 else (parts[0], jnp.zeros_like(parts[0]))
-    return [mxu64.fwd(limbs, n=n, p=pl.p) for pl in plans]
+    return [eng.fwd(limbs, n=n, p=pl.p) for pl in plans]
 
 
 def try_pointwise_inv64_all(fl, fr, plans):
@@ -207,7 +216,7 @@ def try_pointwise_inv64_all(fl, fr, plans):
     n = fl.shape[-2]
     if not all(_mxu64_wanted(n, pl.p) for pl in plans):
         return None
-    from . import mxu64
+    eng = _mxu64_impl(n)
     from .u32 import mont_mul64, mont_neginv64
 
     outs = []
@@ -219,7 +228,7 @@ def try_pointwise_inv64_all(fl, fr, plans):
             mont_neginv64(pl.p),
         )
         scale = pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p
-        outs.append(mxu64.inv(prod, n=n, p=pl.p, scale=scale))
+        outs.append(eng.inv(prod, n=n, p=pl.p, scale=scale))
     return outs
 
 
