@@ -26,8 +26,8 @@ import numpy as np
 BASELINE_POLYMUL_PER_SEC = 2900.0
 
 N = 1 << 14
-BATCH = 16
-K = 128  # >= ~35 ms of on-device work so tunnel RTT jitter (~ms) cancels
+BATCH = 8  # one Pallas batch tile per grid step measures best on v5e
+K = 256  # >= ~30 ms of on-device work so tunnel RTT jitter (~ms) cancels
 
 
 def _timed(fn, *args, reps=5):
