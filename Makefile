@@ -1,0 +1,37 @@
+# Developer entry points (parity with the reference's Makefile targets:
+# test / bench / lint — Makefile:79-110 there).
+
+PY ?= python
+
+.PHONY: test test-fast bench bench-full bench-headline scaling native clean
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x --ignore=tests/test_parallel.py
+
+# criterion-parity grid (representative sizes)
+bench:
+	$(PY) benches/run.py
+
+# the reference's full n grid (slow: many shapes to compile)
+bench-full:
+	$(PY) benches/run.py --full
+
+# the driver headline metric (one JSON line)
+bench-headline:
+	$(PY) bench.py
+
+# multi-chip scaling harness (runs on whatever mesh is available)
+scaling:
+	$(PY) benches/scaling.py
+
+# force-rebuild the native host-math library
+native:
+	rm -f concrete_ntt_tpu/_native/hostmath.so
+	$(PY) -c "from concrete_ntt_tpu import _native; assert _native.lib() is not None, 'toolchain unavailable'; print('native tier OK')"
+
+clean:
+	rm -f concrete_ntt_tpu/_native/hostmath.so
+	find . -name __pycache__ -type d -exec rm -rf {} +
