@@ -18,10 +18,10 @@ F; inverse mirrored) — extended to 64-bit moduli:
     (any u64) through the whole pipeline; only the final epilogue reduces
     canonically (Lemire magic division, screened exact — lib.rs:416-445).
 
-Supported moduli: p < 2^62 with an exact u64 magic constant (covers the
-52-bit table primes and the reference bench regimes p≈2^50/2^51/2^61), and
-the Goldilocks prime 2^64 - 2^32 + 1 (prime64::Solinas). Other regimes fall
-back to the XLA stage engine.
+Supported moduli: every odd p in (2^33, 2^64) — all five reference butterfly
+regimes (prime64.rs:794-864) ride the same engine, with a cheap shift/add
+top-limb fold for Goldilocks 2^64-2^32+1 (prime64::Solinas) and an
+approximate-Barrett canonical epilogue that needs no exact magic constant.
 
 Results are bit-identical to prime64.Plan's stage engine (tests).
 """
@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables import GOLDILOCKS
-from ..utils.fastdiv import magic_u64
 from .u32 import (
     add64,
     add64c,
@@ -62,11 +61,12 @@ def _n_dplanes(p: int) -> int:
 
 
 def applicable(n: int, p: int) -> bool:
+    """All odd moduli in (2^33, 2^64) — the canonical epilogue uses an
+    approximate Barrett quotient + conditional subtractions, so no exact
+    magic constant is required."""
     if n < 2048 or (n & (n - 1)) != 0:
         return False
-    if p == GOLDILOCKS:
-        return True
-    return p % 2 == 1 and (1 << 33) < p < (1 << 62) and magic_u64(p).exact_for_u64
+    return p % 2 == 1 and (1 << 33) < p < (1 << 64)
 
 
 # ---------------------------------------------------------------------------
@@ -242,11 +242,10 @@ def _tables(n: int, p: int):
         "d": _mont_tables(ops["d"].T, p),  # fwd mid layout [n2, n1]
         "e": _mont_tables(ops["e"], p),  # inv mid layout [n1, n2]
     }
-    if not tbl["goldilocks"]:
-        m = magic_u64(p)
-        assert m.exact_for_u64
-        tbl["magic"] = m.magic
-        tbl["magic_shift"] = m.shift
+    tbl["barrett"] = (1 << 64) // p  # floor(2^64/p); quotient error <= 2
+    if p >= (1 << 63):
+        # 2^64 mod p = 2^64 - p: Montgomery fold for the top limb
+        tbl["c64_mont"] = (c64 << 64) % p
     return tbl
 
 
@@ -325,18 +324,35 @@ def _fold3to2(v0, v1, v2, tbl):
         comp = (carry * np.uint32(0xFFFFFFFF), jnp.zeros_like(carry))
         s = add64(s, comp)
         return s
-    t = shoup_mul_lazy64(
-        (v2, jnp.zeros_like(v2)),
-        const64_like(tbl["c64"]),
-        const64_like(tbl["c64_shoup"]),
-        p,
-    )  # [0, 2p), p < 2^62
+    if p < (1 << 63):
+        t = shoup_mul_lazy64(
+            (v2, jnp.zeros_like(v2)),
+            const64_like(tbl["c64"]),
+            const64_like(tbl["c64_shoup"]),
+            p,
+        )  # [0, 2p)
+    else:
+        # p >= 2^63 (non-Goldilocks): Shoup's 2p bound exceeds 2^64; use a
+        # Montgomery multiply of the top limb by 2^64*2^64 mod p instead.
+        t = mont_mul64(
+            (v2, jnp.zeros_like(v2)),
+            const64_like(tbl["c64_mont"]),
+            p,
+            tbl["p_neginv"],
+        )
     s, carry = add64c((v0, v1), t)
     comp = (
         carry * np.uint32(tbl["c64"] & 0xFFFFFFFF),
         carry * np.uint32(tbl["c64"] >> 32),
     )
-    return add64(s, comp)  # no re-wrap: wrapped s < 2p, + c64 < 3p < 2^64
+    if 3 * p < (1 << 64):
+        return add64(s, comp)  # wrapped s < 2p, + c64 < 3p < 2^64
+    s, carry2 = add64c(s, comp)
+    comp2 = (
+        carry2 * np.uint32(tbl["c64"] & 0xFFFFFFFF),
+        carry2 * np.uint32(tbl["c64"] >> 32),
+    )
+    return add64(s, comp2)  # second round cannot re-wrap (s < p after wrap)
 
 
 def _scale_mont(rep, mont_tab, tbl):
@@ -352,27 +368,20 @@ def _scale_mont(rep, mont_tab, tbl):
     return sub64(diff, corr)  # wrapped diff > 2^63 >> c64: no re-borrow
 
 
-def _shr64(pair, s: int):
-    lo, hi = pair
-    if s == 0:
-        return pair
-    if s < 32:
-        return (lo >> np.uint32(s)) | (hi << np.uint32(32 - s)), hi >> np.uint32(s)
-    if s == 32:
-        return hi, jnp.zeros_like(hi)
-    return hi >> np.uint32(s - 32), jnp.zeros_like(hi)
-
-
 def _canonical(v0, v1, v2, tbl):
     """3-limb V = true + OFF8 -> canonical (true mod p) as a limb pair."""
     p = tbl["p"]
     rep = _fold3to2(v0, v1, v2, tbl)
-    if tbl["goldilocks"]:
+    if p >= (1 << 63):
         r = cond_sub64(rep, p)  # rep < 2^64 < 2p
+    elif p >= (1 << 62):
+        r = cond_sub64(cond_sub64(rep, 2 * p), p)  # rep < 2^64 < 4p
     else:
-        q = _shr64(mulhi64(rep, const64_like(tbl["magic"])), tbl["magic_shift"])
+        # approximate Barrett: q in [floor(rep/p)-2, floor(rep/p)],
+        # so rep - q*p < 3p < 2^64 and two conditional subtracts finish.
+        q = mulhi64(rep, const64_like(tbl["barrett"]))
         r = sub64(rep, mullo64(q, const64_like(p)))
-        r = cond_sub64(r, p)
+        r = cond_sub64(cond_sub64(r, 2 * p), p)
     # subtract OFF8 mod p (both canonical now)
     off = tbl["off_mod_p"]
     d, borrow = sub64b(r, const64_like(off))

@@ -92,5 +92,31 @@ def test_dispatch_forced_mxu_matches_xla(rng, monkeypatch):
 def test_applicability_gates():
     assert mxu64.applicable(4096, PRIMES52[0])
     assert mxu64.applicable(4096, GOLDILOCKS)
+    assert mxu64.applicable(4096, (1 << 62) + 135)  # any odd p > 2^33
     assert not mxu64.applicable(1024, PRIMES52[0])  # below size threshold
-    assert not mxu64.applicable(4096, (1 << 62) + 135)  # out of regime
+    assert not mxu64.applicable(4096, 1 << 40)  # even
+    assert not mxu64.applicable(4096, (1 << 30) + 3)  # small p: prime32 turf
+
+
+@pytest.mark.parametrize(
+    "p",
+    [
+        2251799813554177,  # p51
+        4611686018427322369,  # p62
+        9223372036853661697,  # p63
+        18446744073707716609,  # >= 2^63 generic
+    ],
+)
+def test_all_reference_regimes_bit_exact(rng, monkeypatch, p):
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "xla")
+    plan = prime64.Plan.try_new(N, p)
+    x = (rng.integers(0, 1 << 64, (2, N), dtype=np.uint64).astype(object) % p).astype(
+        np.uint64
+    )
+    limbs = np_u64_to_limbs(x)
+    want_f = np.asarray(plan.fwd(limbs))
+    lo, hi = _pairs(x)
+    got = mxu64.fwd((lo, hi), n=N, p=p)
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(got[0]), np.asarray(got[1])], -1), want_f
+    )
