@@ -20,9 +20,6 @@ Engine value convention: parts = (lo, hi) uint32 arrays; twiddle parts are
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-import numpy as np
-
 from .u32 import (
     add64,
     add_mod64,

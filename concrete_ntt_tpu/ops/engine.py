@@ -27,7 +27,7 @@ the four-step decomposition (parallel/fourstep.py).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax.numpy as jnp
 

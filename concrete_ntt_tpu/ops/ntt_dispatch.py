@@ -11,7 +11,6 @@ Pallas path (debugging / A-B benchmarking).
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

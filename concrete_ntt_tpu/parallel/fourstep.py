@@ -23,7 +23,6 @@ contiguously along the transform axis.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,6 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..ops import butterflies32 as bf32
-from ..ops.u32 import np_u64_to_limbs
 
 
 def _col_stages(parts, twid_parts, bf, lbf, n1, first, last, final_stage):

@@ -24,7 +24,6 @@ virtual CPU mesh, XLA int8 dots are exact everywhere).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
