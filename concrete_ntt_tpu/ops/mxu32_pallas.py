@@ -451,3 +451,82 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
     call = _build_multi_call(n, tuple(primes), 1, "inv", tuple(scales), True)
     out = call(fl, fr)
     return out[:, :b] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# Per-pass fused kernels: ONE matmod (digits + int8 dot + epilogue) in VMEM.
+#
+# The sharded four-step (parallel/fourstep_mxu.py) must run the all-to-all
+# BETWEEN the two passes, so it cannot use the whole-transform kernel; these
+# half-transform kernels give shard_map's local sections the same VMEM
+# fusion. Shapes: x [B, rows, K] contracting the last axis (rows is the
+# local shard extent — any multiple of 8).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=256)
+def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int):
+    tbl = mxu32._mxu_tables(n, p)
+    mat = tbl[which]
+    planes, cvec = mat
+    diag = tbl["d" if which == "A" else "e"] if scaled else None
+    k_in = planes.shape[0] // 4
+    n_diag = len(diag) if scaled else 0
+
+    def kernel(*refs):
+        p_ref, c_ref = refs[0], refs[1]
+        diag_refs = refs[2 : 2 + n_diag]
+        x_ref = refs[2 + n_diag]
+        out_ref = refs[-1]
+        m = (p_ref[:], c_ref[:])
+        x = x_ref[:]
+        if scaled:
+            dg = tuple(r[:] for r in diag_refs)  # 2D; epilogue broadcasts
+            lo, hi = mxu32._limbs(x, m, tbl)
+            out = mxu32._epilogue_scaled_lazy(lo, hi, dg, tbl, p=p)
+        else:
+            out = mxu32._matmod(x, m, tbl, p=p)
+        out_ref[:] = out
+
+    def call(x, *diag_slices):
+        bsz = x.shape[0]
+        o = planes.shape[1] // 4
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz // _B_TILE,),
+            in_specs=[
+                pl.BlockSpec(planes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(cvec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                *[
+                    pl.BlockSpec(
+                        diag_slices[j].shape,
+                        lambda i: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for j in range(n_diag)
+                ],
+                pl.BlockSpec(
+                    (_B_TILE, rows, k_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (_B_TILE, rows, o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, rows, o), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )(jnp.asarray(planes), jnp.asarray(cvec), *diag_slices, x)
+
+    return call
+
+
+def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=()):
+    """Fused one-pass modular matmul: x [B, rows, K] u32 (any representative,
+    contract last) -> [B, rows, O]. which in {A, F, G, Ainv}; pass the
+    rank-local diagonal slices for the scaled (A/G) passes."""
+    b, rows, _k = x.shape
+    pad = (-b) % _B_TILE
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    call = _build_pass_call(n, p, which, bool(diag_slices), rows)
+    out = call(x, *diag_slices)
+    return out[:b] if pad else out

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import mxu32
 
@@ -54,37 +54,60 @@ def make_sharded_prime32_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
     d_tabs = tuple(np.asarray(a) for a in tbl["d"])  # [n2, n1] (fwd mid)
     e_tabs = tuple(np.asarray(a) for a in tbl["e"])  # [n1, n2] (inv mid)
 
+    use_pallas = False
+    try:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    except Exception:
+        pass
+
+    def _pass(x, which, diag=()):
+        """One fused modular-matmul pass on the local shard (VMEM Pallas
+        kernel on TPU, pure-XLA elsewhere; bit-identical)."""
+        if use_pallas:
+            from ..ops import mxu32_pallas
+
+            return mxu32_pallas.pass_matmod(
+                x, n=n, p=p, which=which, diag_slices=tuple(diag)
+            )
+        if diag:
+            return mxu32._matmod_scaled_lazy(x, tbl[which], tuple(diag), tbl, p=p)
+        return mxu32._matmod(x, tbl[which], tbl, p=p)
+
     def fwd_local(x_loc, *d_loc):
         # x_loc [b, n1, n2/s] -> contract n1 with the shared column matrix
         v = x_loc.transpose(0, 2, 1)  # [b, n2/s, n1]
-        y = mxu32._matmod_scaled_lazy(v, tbl["A"], d_loc, tbl, p=p)
+        y = _pass(v, "A", d_loc)
         # distributed transpose: n2-sharding -> n1-sharding
         y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=1, tiled=True)
         # y [b, n2, n1/s] -> contract n2 with the shared row matrix
         y = y.transpose(0, 2, 1)  # [b, n1/s, n2]
-        return mxu32._matmod(y, tbl["F"], tbl, p=p)
+        return _pass(y, "F")
 
     def inv_local(x_loc, *e_loc):
         # x_loc [b, n1/s, n2] NTT domain -> row pass is local
-        y = mxu32._matmod_scaled_lazy(x_loc, tbl["G"], e_loc, tbl, p=p)
+        y = _pass(x_loc, "G", e_loc)
         # n1-sharding -> n2-sharding
         y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=1, tiled=True)
         # y [b, n1, n2/s] -> contract n1
         y = y.transpose(0, 2, 1)  # [b, n2/s, n1]
-        out = mxu32._matmod(y, tbl["Ainv"], tbl, p=p)
+        out = _pass(y, "Ainv")
         return out.transpose(0, 2, 1)  # [b, n1, n2/s] standard order
 
+    # check_vma=False: pallas_call outputs inside the local section don't
+    # carry varying-mesh-axes metadata
     fwd_sharded = shard_map(
         fwd_local,
         mesh=mesh,
         in_specs=(val_spec, *([P(axis, None)] * len(d_tabs))),
         out_specs=ntt_spec,
+        check_vma=False,
     )
     inv_sharded = shard_map(
         inv_local,
         mesh=mesh,
         in_specs=(ntt_spec, *([P(axis, None)] * len(e_tabs))),
         out_specs=val_spec,
+        check_vma=False,
     )
 
     d_dev = tuple(
