@@ -530,3 +530,4 @@ def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=()):
     call = _build_pass_call(n, p, which, bool(diag_slices), rows)
     out = call(x, *diag_slices)
     return out[:b] if pad else out
+
