@@ -213,31 +213,41 @@ def main():
     ap.add_argument("--ids", nargs="*", help="only run these bench ids")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.jsonl"))
+    ap.add_argument("--resume", action="store_true",
+                    help="skip ids already present in --out; append new ones")
     args = ap.parse_args()
     ns = FULL_NS if args.full else QUICK_NS
 
-    results = []
-    for bid, fn, x in list(_prime_benches(ns)) + list(_native_benches(ns)):
-        if args.ids and bid not in args.ids:
-            continue
-        try:
-            t = _chain_time(fn, x)
-        except Exception as exc:  # pragma: no cover - report and continue
-            print(json.dumps({"id": bid, "error": str(exc)[:200]}), flush=True)
-            continue
-        rec = {
-            "id": bid,
-            "batch": BATCH,
-            "ns_per_poly": round(t / BATCH * 1e9, 1),
-            "polys_per_sec": round(BATCH / t, 1),
-            "type": "latency",  # statistic surface parity: ci/benchmark_parser.py:151
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
-
-    with open(args.out, "w") as f:
-        for rec in results:
+    done = set()
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["id"])
+                except Exception:
+                    pass
+    mode = "a" if args.resume else "w"
+    with open(args.out, mode) as f:
+        for bid, fn, x in list(_prime_benches(ns)) + list(_native_benches(ns)):
+            if args.ids and bid not in args.ids:
+                continue
+            if bid in done:
+                continue
+            try:
+                t = _chain_time(fn, x)
+            except Exception as exc:  # pragma: no cover - report and continue
+                print(json.dumps({"id": bid, "error": str(exc)[:200]}), flush=True)
+                continue
+            rec = {
+                "id": bid,
+                "batch": BATCH,
+                "ns_per_poly": round(t / BATCH * 1e9, 1),
+                "polys_per_sec": round(BATCH / t, 1),
+                "type": "latency",  # parity: ci/benchmark_parser.py:151
+            }
+            print(json.dumps(rec), flush=True)
             f.write(json.dumps(rec) + "\n")
+            f.flush()
 
 
 if __name__ == "__main__":

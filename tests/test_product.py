@@ -122,3 +122,22 @@ def test_validation():
     # 1s are stripped:
     plan = product.Plan.try_new(N, P30A, [1, P30A])
     assert plan is not None and plan.factors == (P30A,)
+
+
+def test_product_plan_on_mxu_engine_matches_xla(rng, monkeypatch):
+    """The product plan's channels ride the MXU engine at n >= 2048."""
+    import numpy as np
+
+    from concrete_ntt_tpu import product
+    from concrete_ntt_tpu.tables import PRIMES32
+
+    n = 2048
+    f1, f2 = PRIMES32[0], PRIMES32[1]
+    plan = product.Plan.new(n, f1 * f2, (f1, f2))
+    lhs = rng.integers(0, f1 * f2, (1, n)).astype(np.uint64)
+    rhs = rng.integers(0, f1 * f2, (1, n)).astype(np.uint64)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "xla")
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    got = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    np.testing.assert_array_equal(got, want)
