@@ -465,21 +465,29 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
 
 
 @lru_cache(maxsize=256)
-def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int):
+def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
+                     n_limbs: int = 1, scale: int = 1):
     tbl = mxu32._mxu_tables(n, p)
-    mat = tbl[which]
+    if which == "A" and n_limbs > 1:
+        mat = mxu32._wide_col_planes(n, p, n_limbs)
+    elif which == "Ainv" and scale != 1:
+        mat = mxu32._scaled_ainv_planes(n, p, scale)
+    else:
+        mat = tbl[which]
     planes, cvec = mat
     diag = tbl["d" if which == "A" else "e"] if scaled else None
     k_in = planes.shape[0] // 4
     n_diag = len(diag) if scaled else 0
 
+    k_lane = k_in // n_limbs  # per-limb contraction extent
+
     def kernel(*refs):
         p_ref, c_ref = refs[0], refs[1]
         diag_refs = refs[2 : 2 + n_diag]
-        x_ref = refs[2 + n_diag]
+        x_refs = refs[2 + n_diag : 2 + n_diag + n_limbs]
         out_ref = refs[-1]
         m = (p_ref[:], c_ref[:])
-        x = x_ref[:]
+        x = tuple(r[:] for r in x_refs) if n_limbs > 1 else x_refs[0][:]
         if scaled:
             dg = tuple(r[:] for r in diag_refs)  # 2D; epilogue broadcasts
             lo, hi = mxu32._limbs(x, m, tbl)
@@ -488,8 +496,9 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int):
             out = mxu32._matmod(x, m, tbl, p=p)
         out_ref[:] = out
 
-    def call(x, *diag_slices):
-        bsz = x.shape[0]
+    def call(*args):
+        xs, diag_slices = args[:n_limbs], args[n_limbs:]
+        bsz = xs[0].shape[0]
         o = planes.shape[1] // 4
         return pl.pallas_call(
             kernel,
@@ -505,29 +514,93 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int):
                     )
                     for j in range(n_diag)
                 ],
-                pl.BlockSpec(
-                    (_B_TILE, rows, k_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-                ),
+                *[
+                    pl.BlockSpec(
+                        (_B_TILE, rows, k_lane),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for _ in range(n_limbs)
+                ],
             ],
             out_specs=pl.BlockSpec(
                 (_B_TILE, rows, o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, rows, o), jnp.uint32),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        )(jnp.asarray(planes), jnp.asarray(cvec), *diag_slices, x)
+        )(jnp.asarray(planes), jnp.asarray(cvec), *diag_slices, *xs)
 
     return call
 
 
-def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=()):
+def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=(),
+                n_limbs: int = 1, scale: int = 1):
     """Fused one-pass modular matmul: x [B, rows, K] u32 (any representative,
-    contract last) -> [B, rows, O]. which in {A, F, G, Ainv}; pass the
-    rank-local diagonal slices for the scaled (A/G) passes."""
-    b, rows, _k = x.shape
+    contract last; limb tuple for wide column passes) -> [B, rows, O].
+    which in {A, F, G, Ainv}; pass the rank-local diagonal slices for the
+    scaled (A/G) passes."""
+    xs = x if isinstance(x, tuple) else (x,)
+    b, rows, _k = xs[0].shape
     pad = (-b) % _B_TILE
     if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-    call = _build_pass_call(n, p, which, bool(diag_slices), rows)
-    out = call(x, *diag_slices)
+        xs = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in xs)
+    call = _build_pass_call(
+        n, p, which, bool(diag_slices), rows, len(xs), scale % p
+    )
+    out = call(*xs, *diag_slices)
     return out[:b] if pad else out
 
+
+# ---------------------------------------------------------------------------
+# Mid-size transforms (2048 <= n < 2^14): the whole-transform kernel needs
+# both four-step factors >= 128 lanes (Mosaic in-kernel transposes), so these
+# sizes run as two fused pass kernels with the transpose between them in XLA.
+# Same API as the whole-transform module; bit-identical results.
+# ---------------------------------------------------------------------------
+
+
+def _split_n(n: int):
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    return n1, n // n1
+
+
+def fwd_passes(x, *, n: int, p: int):
+    return fwd_wide_passes((x,), n=n, p=p)
+
+
+def fwd_wide_passes(limbs: tuple, *, n: int, p: int):
+    n1, n2 = _split_n(n)
+    tbl = mxu32._mxu_tables(n, p)
+    b = limbs[0].shape[0]
+    d = tuple(jnp.asarray(a) for a in tbl["d"])
+    v = tuple(a.reshape(b, n1, n2).transpose(0, 2, 1) for a in limbs)
+    y = pass_matmod(v, n=n, p=p, which="A", diag_slices=d, n_limbs=len(limbs))
+    y = y.transpose(0, 2, 1)  # [B, n1, n2]
+    out = pass_matmod(y, n=n, p=p, which="F")
+    return out.reshape(b, n)
+
+
+def inv_passes(x, *, n: int, p: int, scale: int = 1):
+    n1, n2 = _split_n(n)
+    tbl = mxu32._mxu_tables(n, p)
+    b = x.shape[0]
+    e = tuple(jnp.asarray(a) for a in tbl["e"])
+    v = x.reshape(b, n1, n2)
+    y = pass_matmod(v, n=n, p=p, which="G", diag_slices=e)
+    y = y.transpose(0, 2, 1)  # [B, n2, n1]
+    out = pass_matmod(y, n=n, p=p, which="Ainv", scale=scale)
+    return out.transpose(0, 2, 1).reshape(b, n)
+
+
+
+class _PassesEngine:
+    """Engine facade for mid sizes: same fwd/fwd_wide/inv surface as this
+    module's whole-transform kernels, built from the two pass kernels."""
+
+    fwd = staticmethod(fwd_passes)
+    fwd_wide = staticmethod(fwd_wide_passes)
+    inv = staticmethod(inv_passes)
+
+
+passes_engine = _PassesEngine()

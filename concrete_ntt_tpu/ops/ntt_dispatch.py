@@ -58,6 +58,9 @@ def _mxu_impl(n):
 
         if mxu32_pallas.fused_applicable(n):
             return mxu32_pallas
+        if n >= 4096:  # mid sizes: two fused pass kernels + XLA transpose
+            # (n=2048 -> n1=32 miscompiles in Mosaic; it stays on pure XLA)
+            return mxu32_pallas.passes_engine
     from . import mxu32
 
     return mxu32
