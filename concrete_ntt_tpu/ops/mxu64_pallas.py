@@ -132,3 +132,4 @@ def fwd(limbs: tuple, *, n: int, p: int):
 
 def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
     return _run(tuple(limbs), n=n, p=p, direction="inv", scale=scale % p)
+

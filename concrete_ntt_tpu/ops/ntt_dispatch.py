@@ -177,6 +177,8 @@ def _mxu64_impl(n):
 
         if mxu64_pallas.fused_applicable(n):
             return mxu64_pallas
+        # mid sizes stay on the XLA engine: the 64-bit limb-combine
+        # miscompiles in Mosaic below 128 lanes (see CLAUDE.md)
     from . import mxu64
 
     return mxu64
