@@ -18,7 +18,7 @@ Usage:
     python benches/run.py            # representative subset (~fast)
     python benches/run.py --full     # the reference's full grid
     python benches/run.py --ids native64-32-16384 fwd-32-1073479681-16384
-Writes one JSON line per id to stdout and benchmarks/results.jsonl.
+Writes one JSON line per id to stdout and benches/results.jsonl.
 """
 
 from __future__ import annotations

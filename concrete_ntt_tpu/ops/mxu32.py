@@ -267,14 +267,35 @@ def _operators(n: int, p: int):
     return {"A": A, "F": F, "d": d, "G": G, "e": e, "Ainv": Ainv}
 
 
+def assert_accumulator_exact(planes: np.ndarray, cvec: np.ndarray):
+    """Worst-case proof that the int8 matmul epilogue cannot wrap.
+
+    The device computes U_d = (xd @ planes)[.., d*O:(d+1)*O] + cvec[d] and
+    casts to uint32, relying on U_d in [0, 2^28). With operand digits in
+    [-128, 127], |acc per column| <= 128 * sum(|plane column|), so it
+    suffices that 128*colsum + |csum| < 2^27 for every output column
+    (csum = cvec - 2^27). This catches any unsafe (n, p, E) combination at
+    table-build time instead of silently wrapping (e.g. contraction extents
+    E*K > 4096 at very large n)."""
+    n_d, O = cvec.shape
+    colsum = np.abs(planes.astype(np.int64)).sum(axis=0).reshape(n_d, O)
+    csum = cvec.astype(np.int64) - (1 << 27)
+    worst = 128 * colsum + np.abs(csum)
+    assert worst.max() < (1 << 27), (
+        f"int8 accumulator may wrap: worst-case |U_d - 2^27| = {worst.max()}"
+        f" >= 2^27 (contraction extent {planes.shape[0]})"
+    )
+
+
 def _prep(M: np.ndarray, p: int, n_eplanes: int = 4):
     """Digit-plane packing: native C++ when available, Python otherwise."""
     from .. import _native
 
     out = _native.prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
-    if out is not None:
-        return out
-    return _prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
+    if out is None:
+        out = _prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
+    assert_accumulator_exact(*out)
+    return out
 
 
 @lru_cache(maxsize=64)
@@ -518,9 +539,15 @@ def inv(x, *, n: int, p: int, scale: int = 1):
 
 
 def applicable(n: int, p: int, variant: str) -> bool:
-    return (
-        variant in ("lt30", "lt31")
-        and p >= _MIN_P
-        and n >= 2048
-        and n.bit_length() - 1 >= 2
-    )
+    """lt30/lt31 primes, n in [2048, 2^17]. Upper bound: the int8 matmul
+    accumulators stay provably exact only while the contraction extent
+    E*K <= 4096 (assert_accumulator_exact); the widest supported operand
+    (u128, E=16) contracts 16*n1 in the column pass and 4*n2 in the row
+    pass, so n1 <= 256 and n2 <= 1024 -> n <= 2^17."""
+    if variant not in ("lt30", "lt31") or p < _MIN_P:
+        return False
+    if n < 2048 or (n & (n - 1)) != 0:
+        return False
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    return n1 <= 256 and (n // n1) <= 1024

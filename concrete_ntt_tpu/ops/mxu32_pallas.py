@@ -26,12 +26,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import mxu32
+from .pallas_env import interpret_mode
 
 _B_TILE = 8
 
 
 @lru_cache(maxsize=256)
-def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int):
+def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
+                interp: bool = False):
     tbl = mxu32._mxu_tables(n, p)
     n1, n2 = tbl["n1"], tbl["n2"]
 
@@ -119,6 +121,7 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=interp,
         )(*(jnp.asarray(c) for c in consts), *x_limbs)
 
     return call
@@ -129,7 +132,7 @@ def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int):
     pad = (-b) % _B_TILE
     if pad:
         x_limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in x_limbs)
-    call = _build_call(n, p, len(x_limbs), direction, scale)
+    call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode())
     out = call(*x_limbs)
     return out[:b] if pad else out
 
@@ -277,7 +280,7 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
 
 @lru_cache(maxsize=64)
 def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
-                      scales: tuple, pointwise: bool):
+                      scales: tuple, pointwise: bool, interp: bool = False):
     tabs = _multi_tables(n, primes, n_limbs, scales)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
@@ -370,6 +373,7 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
+            interpret=interp,
         )(
             jnp.asarray(scal6),
             jnp.asarray(planes1),
@@ -398,17 +402,25 @@ def _neginv_vec(primes):
 
 
 def _sc_mont_mul(a, b, sc_ref):
-    """Montgomery product a*b*2^-32 mod p with traced scalars, any-u32 rep."""
+    """Montgomery product a*b*2^-32 mod p with traced scalars (u32.mont_mul
+    with p/p_neginv read from SMEM). The u32 sum hi + mulhi(m, p) + carry
+    can itself wrap (true t < 2^32 + p for arbitrary u32 inputs), so the
+    overflow must be tracked explicitly — dropping it returns a wrong
+    residue for ~p/2^32 of input pairs."""
     from .u32 import mulhi_u32, mulwide_u32
 
     p = sc_ref[0, 0, 0]
     p_neginv = sc_ref[0, 0, 5]
     lo, hi = mulwide_u32(a, b)
     m = lo * p_neginv
-    t = hi + mulhi_u32(m, p)
-    carry = (lo + m * p < lo).astype(jnp.uint32)  # lo + m*p == 0 mod 2^32 w/ carry
-    t = t + carry
-    return jnp.where(t >= p, t - p, t)
+    mp_hi = mulhi_u32(m, p)
+    carry = (lo != 0).astype(jnp.uint32)  # lo(ab) + lo(mp) is 0 or exactly 2^32
+    t = hi + mp_hi
+    ovf = t < hi
+    s = t + carry
+    ovf = ovf | (s < t)
+    # true value = s + ovf*2^32 ∈ [0, 2p); reduce to [0, p).
+    return jnp.where(ovf, s - p, jnp.where(s >= p, s - p, s))
 
 
 def fwd_wide_multi(limbs: tuple, primes: tuple):
@@ -420,7 +432,8 @@ def fwd_wide_multi(limbs: tuple, primes: tuple):
     if pad:
         limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in limbs)
     call = _build_multi_call(
-        n, tuple(primes), len(limbs), "fwd", (1,) * len(primes), False
+        n, tuple(primes), len(limbs), "fwd", (1,) * len(primes), False,
+        interpret_mode(),
     )
     out = call(*limbs)
     return out[:, :b] if pad else out
@@ -434,7 +447,9 @@ def inv_multi(x, primes: tuple, scales: tuple):
     pad = (-b) % _B_TILE
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    call = _build_multi_call(n, tuple(primes), 1, "inv", tuple(scales), False)
+    call = _build_multi_call(
+        n, tuple(primes), 1, "inv", tuple(scales), False, interpret_mode()
+    )
     out = call(x)
     return out[:, :b] if pad else out
 
@@ -448,7 +463,9 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
     if pad:
         fl = jnp.pad(fl, ((0, 0), (0, pad), (0, 0)))
         fr = jnp.pad(fr, ((0, 0), (0, pad), (0, 0)))
-    call = _build_multi_call(n, tuple(primes), 1, "inv", tuple(scales), True)
+    call = _build_multi_call(
+        n, tuple(primes), 1, "inv", tuple(scales), True, interpret_mode()
+    )
     out = call(fl, fr)
     return out[:, :b] if pad else out
 
@@ -466,7 +483,7 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
 
 @lru_cache(maxsize=256)
 def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
-                     n_limbs: int = 1, scale: int = 1):
+                     n_limbs: int = 1, scale: int = 1, interp: bool = False):
     tbl = mxu32._mxu_tables(n, p)
     if which == "A" and n_limbs > 1:
         mat = mxu32._wide_col_planes(n, p, n_limbs)
@@ -528,6 +545,7 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, rows, o), jnp.uint32),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interp,
         )(jnp.asarray(planes), jnp.asarray(cvec), *diag_slices, *xs)
 
     return call
@@ -545,7 +563,8 @@ def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=(),
     if pad:
         xs = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in xs)
     call = _build_pass_call(
-        n, p, which, bool(diag_slices), rows, len(xs), scale % p
+        n, p, which, bool(diag_slices), rows, len(xs), scale % p,
+        interpret_mode(),
     )
     out = call(*xs, *diag_slices)
     return out[:b] if pad else out

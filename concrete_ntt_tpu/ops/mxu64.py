@@ -63,8 +63,17 @@ def _n_dplanes(p: int) -> int:
 def applicable(n: int, p: int) -> bool:
     """All odd moduli in (2^33, 2^64) — the canonical epilogue uses an
     approximate Barrett quotient + conditional subtractions, so no exact
-    magic constant is required."""
+    magic constant is required.
+
+    Upper bound on n: the int8 accumulators are provably exact only while
+    the contraction extent E*K <= 4096 (mxu32.assert_accumulator_exact runs
+    on every prepared matrix); limb-pair operands contract 8*n2 in the
+    row pass, so n2 <= 512 -> n <= 2^18."""
     if n < 2048 or (n & (n - 1)) != 0:
+        return False
+    log2n = n.bit_length() - 1
+    n2 = n >> (log2n // 2)
+    if 8 * n2 > 4096:
         return False
     return p % 2 == 1 and (1 << 33) < p < (1 << 64)
 
@@ -193,13 +202,15 @@ def _prep_matrix64_py(M: np.ndarray, p: int, n_eplanes: int, n_d: int):
 def _prep64(M: np.ndarray, p: int, n_eplanes: int = 8):
     n_d = _n_dplanes(p)
     from .. import _native
+    from .mxu32 import assert_accumulator_exact
 
     out = _native.prep_matrix(
         np.ascontiguousarray(M, dtype=np.uint64), p, n_eplanes, n_d
     )
-    if out is not None:
-        return out
-    return _prep_matrix64_py(np.ascontiguousarray(M), p, n_eplanes, n_d)
+    if out is None:
+        out = _prep_matrix64_py(np.ascontiguousarray(M), p, n_eplanes, n_d)
+    assert_accumulator_exact(*out)
+    return out
 
 
 def _mont_tables(W: np.ndarray, p: int):

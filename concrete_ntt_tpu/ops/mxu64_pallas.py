@@ -18,6 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import mxu64
+from .pallas_env import interpret_mode
 
 _B_TILE = 8
 
@@ -29,7 +30,8 @@ def fused_applicable(n: int) -> bool:
 
 
 @lru_cache(maxsize=128)
-def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int):
+def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
+                interp: bool = False):
     tbl = mxu64._tables(n, p)
     n1, n2 = tbl["n1"], tbl["n2"]
 
@@ -109,6 +111,7 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=interp,
         )(*(jnp.asarray(c) for c in consts), *x_limbs)
 
     return call
@@ -119,7 +122,7 @@ def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int):
     pad = (-b) % _B_TILE
     if pad:
         x_limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in x_limbs)
-    call = _build_call(n, p, len(x_limbs), direction, scale)
+    call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode())
     lo, hi = call(*x_limbs)
     if pad:
         lo, hi = lo[:b], hi[:b]

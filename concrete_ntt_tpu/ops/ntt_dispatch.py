@@ -30,6 +30,15 @@ def _on_tpu() -> bool:
         return False
 
 
+def _pallas_impls_runnable() -> bool:
+    """Pallas kernels execute natively on TPU, or anywhere in interpret mode
+    (CONCRETE_NTT_TPU_PALLAS_INTERPRET=1 — used by the test suite to drive
+    the production kernel paths through this dispatch layer on CPU)."""
+    from .pallas_env import interpret_mode
+
+    return _on_tpu() or interpret_mode()
+
+
 def _pallas_available() -> bool:
     eng = _engine()
     if eng == "pallas":
@@ -53,7 +62,7 @@ def _mxu_impl(n):
     (bit-identical; the Pallas kernel keeps the whole transform in VMEM).
     Mosaic lane-splitting reshapes need both four-step factors >= 128 lanes,
     so the fused kernel only serves n >= 2^14."""
-    if _on_tpu():
+    if _pallas_impls_runnable():
         from . import mxu32_pallas
 
         if mxu32_pallas.fused_applicable(n):
@@ -172,7 +181,7 @@ def _mxu64_wanted(n, p) -> bool:
 def _mxu64_impl(n):
     """Fused-Pallas mxu64 on TPU (n with both four-step factors >= 128);
     pure-XLA mxu64 elsewhere. Bit-identical."""
-    if _on_tpu():
+    if _pallas_impls_runnable():
         from . import mxu64_pallas
 
         if mxu64_pallas.fused_applicable(n):

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import butterflies32 as bf32
+from .pallas_env import interpret_mode
 
 _MAX_N = 1 << 15  # expanded twiddles live in VMEM: 2·log2(n)·n·4 bytes
 _B_TILE = 8  # sublane granularity for u32
@@ -111,7 +112,7 @@ def _make_kernel(n, p, variant, p_neginv, direction, has_shoup):
 
 
 @lru_cache(maxsize=256)
-def _build_call(n, p, variant, p_neginv, direction, has_shoup):
+def _build_call(n, p, variant, p_neginv, direction, has_shoup, interp=False):
     kernel = _make_kernel(n, p, variant, p_neginv, direction, has_shoup)
     log2n = n.bit_length() - 1
     n_tw = 2 if has_shoup else 1
@@ -134,6 +135,7 @@ def _build_call(n, p, variant, p_neginv, direction, has_shoup):
                 (_B_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, n), jnp.uint32),
+            interpret=interp,
         )(*twids, x)
 
     return jax.jit(call)
@@ -150,7 +152,9 @@ def _run(x, *, p, variant, p_neginv, direction):
     twids = tuple(
         jnp.asarray(a) for a in _expanded_twiddles(n, p, direction)
     )
-    call = _build_call(n, p, variant, p_neginv, direction, has_shoup)
+    call = _build_call(
+        n, p, variant, p_neginv, direction, has_shoup, interpret_mode()
+    )
     out = call(x, *twids)
     return out[:b] if pad else out
 

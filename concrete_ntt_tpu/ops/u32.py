@@ -297,7 +297,13 @@ def mont_neginv64(p: int) -> int:
 
 
 def mont_mul64(a, b, p: int, p_neginv: int):
-    """a·b·2^{-64} mod p, canonical [0, p), for any odd p < 2^64 (REDC).
+    """a·b·2^{-64} mod p for odd p < 2^64 (REDC).
+
+    Precondition: a·b < 2^64·p (e.g. one operand < p, or both < 2^32·√p) —
+    then REDC's t = (a·b + m·p)/2^64 < 2p and one conditional subtract
+    yields the canonical [0, p) result. For two arbitrary u64
+    representatives the quotient can reach 2p + p/2^64 and the result may
+    land in [p, 2p); call sites keep one side canonical.
 
     Replaces the reference's u256-reciprocal generic multiplication
     (generic_solinas.rs:42-75) — same canonical result, limb-friendly.

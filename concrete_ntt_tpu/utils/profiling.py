@@ -101,7 +101,6 @@ def mxu_transform_roofline(n: int, batch: int, seconds: float,
     log2n = n.bit_length() - 1
     n1 = 1 << (log2n // 2)
     n2 = n // n1
-    macs = batch * n * (n_eplanes * n1 * n_dplanes // 4 + 4 * n2)
     # col pass: contraction E*n1, output D*n1 int32; row: 4*n2 planes
     macs = batch * n2 * (n_eplanes * n1) * (n_dplanes * n1)
     macs += batch * n1 * (4 * n2) * (n_dplanes * n2)
