@@ -1,8 +1,13 @@
 """Multi-chip scaling-efficiency harness (BASELINE.md: >=85% target).
 
-Measures batched native64 CRT polymul throughput with the MXU-sharded
-four-step transforms over increasing mesh sizes and reports efficiency
-relative to linear scaling from the smallest mesh.
+Default mode: batched native64 CRT polymul with the MXU-sharded four-step
+transforms (dp x sp meshes) over increasing device counts, reporting
+efficiency relative to linear scaling from the smallest mesh.
+
+--north-star mode: the BASELINE.md target workload — batched native128
+negacyclic polymul at N=2^16 with CRT channels sharded over a `ch` mesh
+axis, batch over `dp`, and the four-step all-to-all stage exchange over
+`sp` (parallel/channels.py), so a pod run is turn-key.
 
 On a pod slice this exercises real ICI all-to-alls; in this repo's
 single-chip environment it degenerates to the 1-chip row (the harness is
@@ -10,6 +15,7 @@ the deliverable — the driver validates the multi-chip path functionally via
 __graft_entry__.dryrun_multichip on a virtual CPU mesh).
 
 Usage: python benches/scaling.py [--n 16384] [--batch-per-chip 8]
+       python benches/scaling.py --north-star
 Prints one JSON line per mesh configuration.
 """
 
@@ -26,12 +32,139 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _chain_rate(step, lhs, rhs, batch, k, reps):
+    """Chain-difference throughput of `step` (polymuls/s); RTT cancels.
+
+    The chain is UNROLLED (not lax.scan): scan-of-shard_map compiles
+    pathologically slowly (hours at n=2^16 on the CPU backend), while the
+    unrolled body is near-linear in k. Keep k modest."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(a, b):
+        c, d_ = a, b
+        for _ in range(k):
+            c, d_ = step(c, d_), c
+        return jnp.sum(c.reshape(-1)[:1].astype(jnp.float32))
+
+    @jax.jit
+    def one(a, b):
+        return jnp.sum(step(a, b).reshape(-1)[:1].astype(jnp.float32))
+
+    _ = np.asarray(chain(lhs, rhs))
+    _ = np.asarray(one(lhs, rhs))
+    bk = b1 = float("inf")
+    for _i in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(chain(lhs, rhs))
+        bk = min(bk, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(one(lhs, rhs))
+        b1 = min(b1, time.perf_counter() - t0)
+    delta = bk - b1
+    if delta <= 0:
+        return float("nan")  # non-monotone chain delta: measurement invalid
+    return batch / (delta / (k - 1))
+
+
+def north_star(args):
+    """Batched native128 @ N=2^16, dp x ch x sp (BASELINE.md target row)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from concrete_ntt_tpu import native128
+    from concrete_ntt_tpu.parallel.channels import ChannelShardedNative
+
+    n = args.n if args.n != (1 << 14) else (1 << 16)
+    devs = len(jax.devices())
+    plan = native128.Plan32.try_new(n)
+    assert plan is not None
+    rng = np.random.default_rng(0)
+    base_rate = None
+
+    d = 1
+    while d <= min(devs, args.max_devices):
+        ch = 2 if d % 2 == 0 else 1
+        sp = 2 if (d // ch) % 2 == 0 else 1
+        dp = d // (ch * sp)
+        mesh = jax.make_mesh(
+            (dp, ch, sp),
+            ("dp", "ch", "sp"),
+            axis_types=(jax.sharding.AxisType.Auto,) * 3,
+        )
+        sharded = ChannelShardedNative(
+            plan, mesh, ch_axis="ch", batch_axis="dp", sp_axis="sp"
+        )
+        batch = args.batch_per_chip * d
+        import jax.numpy as jnp
+
+        lhs_np = rng.integers(0, 1 << 32, (batch, n, 4), dtype=np.uint32)
+        a0 = jnp.asarray(lhs_np)
+        b0 = jnp.asarray(lhs_np[::-1].copy())
+        consts = sharded._consts
+        val_sh = NamedSharding(mesh, sharded._val_spec)
+
+        def step_flat(a, b):
+            # full measured workload: reshard values onto the mesh, the
+            # sharded split/fwd/pointwise/inv pipeline, then the
+            # reconstruction all-gather
+            def parts(x):
+                return tuple(
+                    jax.lax.with_sharding_constraint(
+                        x[..., i].reshape(batch, sharded.n1, sharded.n2), val_sh
+                    )
+                    for i in range(4)
+                )
+
+            res = sharded._polymul_sharded(*parts(a), *parts(b), *consts)
+            k = res.shape[0]
+            res = jax.lax.with_sharding_constraint(
+                res, NamedSharding(mesh, P(None, "dp", None, None))
+            ).reshape(k, batch, n)
+            out = plan._reconstruct([res[i] for i in range(k)])
+            return jnp.stack(out, axis=-1)
+
+        rate = _chain_rate(step_flat, a0, b0, batch, args.chain, args.reps)
+        if base_rate is None:
+            base_rate = rate / d
+        print(
+            json.dumps(
+                {
+                    "workload": "native128_polymul_n2^16",
+                    "devices": d,
+                    "mesh": {"dp": dp, "ch": ch, "sp": sp},
+                    "batch": batch,
+                    "polymul_per_sec": round(rate, 1),
+                    "scaling_efficiency": round(rate / (base_rate * d), 4),
+                }
+            ),
+            flush=True,
+        )
+        d *= 2
+
+
 def main():
+    # The axon TPU plugin ignores the JAX_PLATFORMS *environment variable*;
+    # honor it explicitly so CPU-mesh smoke runs work (tests/conftest.py note)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 14)
     ap.add_argument("--batch-per-chip", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--max-devices", type=int, default=1 << 20)
+    ap.add_argument(
+        "--north-star",
+        action="store_true",
+        help="batched native128 @ N=2^16, dp x ch x sp channel sharding",
+    )
     args = ap.parse_args()
+    if args.north_star:
+        return north_star(args)
 
     import jax
     import jax.numpy as jnp

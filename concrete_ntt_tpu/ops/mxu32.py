@@ -246,7 +246,14 @@ def _operators(n: int, p: int):
     """The six four-step operators A, F, d, G, e, Ainv (uint64 mod p).
 
     Native C++ builder when available (~100x faster plan construction);
-    pure-numpy/Python fallback with identical outputs (tests assert)."""
+    pure-numpy/Python fallback with identical outputs (tests assert).
+    Results are disk-cached across processes (ops/table_cache.py)."""
+    from .table_cache import cached_operators
+
+    return cached_operators(n, p, lambda: _build_operators(n, p))
+
+
+def _build_operators(n: int, p: int):
     log2n = n.bit_length() - 1
     n1 = 1 << (log2n // 2)
     n2 = n // n1
@@ -477,13 +484,7 @@ def fwd(x, *, n: int, p: int):
 def _wide_col_planes(n: int, p: int, n_limbs: int):
     """Column-pass planes consuming u{32*n_limbs} limb tuples directly: the
     residue split (value mod p) folds into the matmul as extra digit planes."""
-    from ..golden.ntt import negacyclic_twiddles
-
-    twid = np.array(negacyclic_twiddles(p, n)[0], dtype=np.uint64)
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    n2 = n // n1
-    A = _col_matrix_fwd(n, n1, n2, twid, p)
+    A = _operators(n, p)["A"]
     return _prep(A.T, p, n_eplanes=4 * n_limbs)
 
 
@@ -508,13 +509,7 @@ def _scaled_ainv_planes(n: int, p: int, scale: int):
     normalization and a Montgomery factor of the pointwise product into the
     final matmul — the matmul analogue of the reference's fused
     mul_assign_normalize, prime32.rs:812-864)."""
-    from ..golden.ntt import negacyclic_twiddles
-
-    inv_twid = np.array(negacyclic_twiddles(p, n)[1], dtype=np.uint64)
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    n2 = n // n1
-    Ainv = _col_matrix_inv(n, n1, n2, inv_twid, p)
+    Ainv = _operators(n, p)["Ainv"]
     M = (Ainv.T.astype(object) * scale % p).astype(np.uint64)
     return _prep(M, p)
 

@@ -112,6 +112,13 @@ def _inv_stage_range_obj(data, inv_twid, p, s_hi, s_lo):
 
 @lru_cache(maxsize=32)
 def _operators(n: int, p: int):
+    """Four-step operators, disk-cached across processes (table_cache)."""
+    from .table_cache import cached_operators
+
+    return cached_operators(n, p, lambda: _build_operators(n, p))
+
+
+def _build_operators(n: int, p: int):
     log2n = n.bit_length() - 1
     n1 = 1 << (log2n // 2)
     n2 = n // n1

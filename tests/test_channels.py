@@ -1,0 +1,84 @@
+"""CRT channels sharded over a mesh axis (the north-star multi-chip config).
+
+Validates parallel/channels.py on the virtual 8-device CPU mesh: the full
+dp × ch × sp composition (batch data-parallel, CRT channels channel-parallel,
+four-step transform sharded with one all-to-all per pass pair) must be
+bit-identical to the single-device plan — which is itself oracle-verified —
+and, at the north-star shape (native128, N=2^16, BASELINE.json configs[4]),
+must match an exact sparse wrapping oracle directly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from concrete_ntt_tpu import native128, native64
+from concrete_ntt_tpu.parallel.channels import ChannelShardedNative
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return jax.make_mesh((2, 2, 2), ("dp", "ch", "sp"))
+
+
+def test_native128_polymul_sharded_bit_exact(rng, mesh):
+    n = 4096
+    plan = native128.Plan32.try_new(n)
+    sharded = ChannelShardedNative(
+        plan, mesh, ch_axis="ch", batch_axis="dp", sp_axis="sp"
+    )
+    B = 4
+    lhs = rng.integers(0, 1 << 32, (B, n, 4), dtype=np.uint32)
+    rhs = rng.integers(0, 1 << 32, (B, n, 4), dtype=np.uint32)
+    got = np.asarray(sharded.negacyclic_polymul(lhs, rhs))
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native128_channels_only_no_sp(rng, mesh):
+    """ch sharding composes without an sp axis (no all-to-all at all)."""
+    n = 4096
+    plan = native128.Plan32.try_new(n)
+    sharded = ChannelShardedNative(plan, mesh, ch_axis="ch", batch_axis="dp")
+    B = 2
+    lhs = rng.integers(0, 1 << 32, (B, n, 4), dtype=np.uint32)
+    rhs = rng.integers(0, 1 << 32, (B, n, 4), dtype=np.uint32)
+    got = np.asarray(sharded.negacyclic_polymul(lhs, rhs))
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_north_star_native128_2pow16(rng, mesh):
+    """BASELINE.json configs[4]: batched native128 at N=2^16, CRT channels on
+    a mesh axis + dp + sp, vs the exact sparse wrapping oracle (monomial rhs:
+    the negacyclic product is a sign-wrapped rotation mod 2^128)."""
+    n = 1 << 16
+    plan = native128.Plan32.try_new(n)
+    assert plan is not None
+    sharded = ChannelShardedNative(
+        plan, mesh, ch_axis="ch", batch_axis="dp", sp_axis="sp"
+    )
+    lhs = rng.integers(0, 1 << 32, (2, n, 4), dtype=np.uint32)
+    s = 23456
+    rhs = np.zeros((2, n, 4), dtype=np.uint32)
+    rhs[:, s, 0] = 1  # x^s
+    got = np.asarray(sharded.negacyclic_polymul(lhs, rhs))
+
+    def to_int(a):  # [n, 4] limbs -> object ints
+        return sum(a[:, i].astype(object) << (32 * i) for i in range(4))
+
+    mask = (1 << 128) - 1
+    for b in range(2):
+        v = to_int(lhs[b])
+        want = np.concatenate([(-v[n - s :]) & mask, v[: n - s] & mask])
+        np.testing.assert_array_equal(to_int(got[b]) & mask, want)
+
+
+def test_channel_sharded_validation(mesh):
+    plan = native64.Plan32.try_new(4096)  # 5 channels: not divisible by ch=2
+    with pytest.raises(ValueError, match="channels must divide"):
+        ChannelShardedNative(plan, mesh, ch_axis="ch")
+    plan52 = native64.Plan52.try_new(4096)
+    with pytest.raises(ValueError, match="plan32-tier"):
+        ChannelShardedNative(plan52, mesh, ch_axis="ch")
