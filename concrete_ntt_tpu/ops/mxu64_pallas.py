@@ -136,3 +136,302 @@ def fwd(limbs: tuple, *, n: int, p: int):
 def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
     return _run(tuple(limbs), n=n, p=p, direction="inv", scale=scale % p)
 
+
+# ---------------------------------------------------------------------------
+# Channel-grid kernels: ALL prime64 CRT channels (Plan52 tiers) in ONE
+# pallas_call — the 64-bit port of ops/mxu32_pallas.py's multi kernels.
+#
+# Grid = (batch_tile, channel), channel innermost: the operand block stays
+# VMEM-resident across channels while per-channel planes/mont-tables/scalars
+# stream in. Per-channel constants are u32 limb-pair scalars read from SMEM;
+# the traced-scalar pipeline below mirrors ops/mxu64.py bit-for-bit for the
+# p < 2^62 regime (all table Plan52 primes are < 2^50: 8 digit planes,
+# Shoup top-limb fold, Barrett canonical epilogue) — asserted by tests.
+# ---------------------------------------------------------------------------
+
+from .u32 import (  # noqa: E402  (limb-pair array ops; scalar-free)
+    add64,
+    add64c,
+    geq64,
+    mulhi64,
+    mullo64,
+    mulwide64,
+    select64,
+    sub64,
+    sub64b,
+)
+
+
+def _sc_cond_sub64(x, m):
+    return select64(geq64(x, m), sub64(x, m), x)
+
+
+def _sc_shoup_lazy64(z, w, wsh, p):
+    q = mulhi64(z, wsh)
+    return sub64(mullo64(z, w), mullo64(q, p))
+
+
+def _sc_mont_mul64(a, b, p, ninv):
+    """u32.mont_mul64 with traced limb-pair scalars (p, -p^-1 mod 2^64)."""
+    l0, l1, l2, l3 = mulwide64(a, b)
+    t_lo, t_hi = (l0, l1), (l2, l3)
+    m = mullo64(t_lo, ninv)
+    mp_hi = mulhi64(m, p)
+    carry = ((l0 != 0) | (l1 != 0)).astype(jnp.uint32)
+    s, c1 = add64c(t_hi, mp_hi)
+    s2, c2 = add64c(s, (carry, np.uint32(0)))
+    over = (c1 | c2).astype(bool)
+    neg_p = sub64((np.uint32(0), np.uint32(0)), p)
+    return select64(over, add64(s2, neg_p), _sc_cond_sub64(s2, p))
+
+
+def _sc_fold3to2(v0, v1, v2, sc):
+    """3-limb V -> 64-bit representative; p < 2^62 regime (3p < 2^64)."""
+    c64, c64sh, p = sc["c64"], sc["c64_shoup"], sc["p"]
+    t = _sc_shoup_lazy64((v2, jnp.zeros_like(v2)), c64, c64sh, p)  # [0, 2p)
+    s, carry = add64c((v0, v1), t)
+    comp = (carry * c64[0], carry * c64[1])
+    return add64(s, comp)  # wrapped s < 2p, + c64 < 3p < 2^64
+
+
+def _sc_scale_mont(rep, wt, kk, sc):
+    """(rep - OFF8) * W mod p as a lazy limb pair (mxu64._scale_mont)."""
+    y = _sc_mont_mul64(rep, wt, sc["p"], sc["p_neginv"])
+    diff, borrow = sub64b(y, kk)
+    c64 = sc["c64"]
+    b32 = borrow.astype(jnp.uint32)
+    return sub64(diff, (b32 * c64[0], b32 * c64[1]))
+
+
+def _sc_canonical(v0, v1, v2, sc):
+    """3-limb V = true + OFF8 -> canonical limb pair; p < 2^62 (Barrett)."""
+    p = sc["p"]
+    rep = _sc_fold3to2(v0, v1, v2, sc)
+    q = mulhi64(rep, sc["barrett"])
+    r = sub64(rep, mullo64(q, p))
+    r = _sc_cond_sub64(_sc_cond_sub64(r, sc["two_p"]), p)
+    d, borrow = sub64b(r, sc["off"])
+    return select64(borrow, add64(d, p), d)
+
+
+_SC_FIELDS = ("p", "c64", "c64_shoup", "p_neginv", "barrett", "off", "two_p")
+
+
+def _scal_vec64(n: int, p: int) -> list[int]:
+    tbl = mxu64._tables(n, p)
+    vals = (p, tbl["c64"], tbl["c64_shoup"], tbl["p_neginv"], tbl["barrett"],
+            tbl["off_mod_p"], 2 * p)
+    out = []
+    for v in vals:
+        out += [v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF]
+    return out
+
+
+def _read_sc(sc_ref):
+    return {
+        name: (sc_ref[0, 0, 2 * j], sc_ref[0, 0, 2 * j + 1])
+        for j, name in enumerate(_SC_FIELDS)
+    }
+
+
+def multi_applicable(n: int, primes) -> bool:
+    return fused_applicable(n) and all(
+        (1 << 33) < p < (1 << 62) and mxu64._n_dplanes(p) == 8 for p in primes
+    )
+
+
+def _multi_tables64(n: int, primes: tuple, scales: tuple):
+    t0 = mxu64._tables(n, primes[0])
+    n1, n2 = t0["n1"], t0["n2"]
+    stk = lambda xs: np.ascontiguousarray(np.stack(xs, axis=0))
+    p1f, c1f, p2f, c2f = [], [], [], []
+    p1i, c1i, p2i, c2i = [], [], [], []
+    dm, em, scal = [], [], []
+    for ch, p in enumerate(primes):
+        assert multi_applicable(n, (p,)), "multi kernel needs p in (2^33, 2^62)"
+        tbl = mxu64._tables(n, p)
+        p1f.append(tbl["A"][0]); c1f.append(tbl["A"][1])
+        p2f.append(tbl["F"][0]); c2f.append(tbl["F"][1])
+        p1i.append(tbl["G"][0]); c1i.append(tbl["G"][1])
+        m2 = (
+            tbl["Ainv"]
+            if scales[ch] % p == 1
+            else mxu64._scaled_ainv_planes(n, p, scales[ch] % p)
+        )
+        p2i.append(m2[0]); c2i.append(m2[1])
+        dm.append(tbl["d"]); em.append(tbl["e"])
+        scal.append(_scal_vec64(n, p) + [0, 0])  # pad to 16
+    return {
+        "n1": n1, "n2": n2,
+        "fwd": (stk(p1f), stk(c1f), stk(p2f), stk(c2f),
+                tuple(stk([d[j] for d in dm]) for j in range(4))),
+        "inv": (stk(p1i), stk(c1i), stk(p2i), stk(c2i),
+                tuple(stk([e[j] for e in em]) for j in range(4))),
+        "scalars": np.array(scal, dtype=np.uint32),  # [C, 16]
+    }
+
+
+@lru_cache(maxsize=64)
+def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
+                        pointwise: bool, interp: bool = False):
+    tabs = _multi_tables64(n, primes, scales)
+    n1, n2 = tabs["n1"], tabs["n2"]
+    C = len(primes)
+    planes1, cvec1, planes2, cvec2, mont = tabs[direction]
+    n_in = (4 if pointwise else 2) if direction == "inv" else 2
+
+    def kernel(*refs):
+        sc_ref = refs[0]
+        p1_ref, c1_ref, p2_ref, c2_ref = refs[1:5]
+        mont_refs = refs[5:9]
+        x_refs = refs[9 : 9 + n_in]
+        out_lo_ref, out_hi_ref = refs[-2], refs[-1]
+
+        sc = _read_sc(sc_ref)
+        m1, cv1 = p1_ref[0], c1_ref[0]
+        m2, cv2 = p2_ref[0], c2_ref[0]
+        wt = (mont_refs[0][0], mont_refs[1][0])
+        kk = (mont_refs[2][0], mont_refs[3][0])
+
+        if direction == "fwd":
+            v = tuple(
+                jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
+            )
+            big = mxu64._dot(mxu64._digit_cat(v), m1)
+            y = _sc_scale_mont(
+                _sc_fold3to2(*mxu64._combine8(big, cv1, n1, 8), sc), wt, kk, sc
+            )
+            y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n1, n2]
+            big = mxu64._dot(mxu64._digit_cat(y), m2)
+            lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n2, 8), sc)
+            out_lo_ref[0] = lo.reshape(_B_TILE, n)
+            out_hi_ref[0] = hi.reshape(_B_TILE, n)
+        else:
+            if pointwise:
+                a = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs[0:2])
+                b = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs[2:4])
+                v = _sc_mont_mul64(a, b, sc["p"], sc["p_neginv"])
+            else:
+                v = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs)
+            big = mxu64._dot(mxu64._digit_cat(v), m1)
+            y = _sc_scale_mont(
+                _sc_fold3to2(*mxu64._combine8(big, cv1, n2, 8), sc), wt, kk, sc
+            )
+            y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n2, n1]
+            big = mxu64._dot(mxu64._digit_cat(y), m2)
+            lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n1, 8), sc)
+            out_lo_ref[0] = jnp.swapaxes(lo, 1, 2).reshape(_B_TILE, n)
+            out_hi_ref[0] = jnp.swapaxes(hi, 1, 2).reshape(_B_TILE, n)
+
+    m_shape = mont[0].shape[1:]
+
+    def call(*xs):
+        bsz = xs[0].shape[-2]
+        grid = (bsz // _B_TILE, C)
+        const_specs = [
+            pl.BlockSpec((1, 1, 16), lambda i, c: (c, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,) + planes1.shape[1:], lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + cvec1.shape[1:], lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + planes2.shape[1:], lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + cvec2.shape[1:], lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[
+                pl.BlockSpec((1,) + m_shape, lambda i, c: (c, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(4)
+            ],
+        ]
+        if direction == "fwd":
+            in_specs = [
+                pl.BlockSpec((_B_TILE, n), lambda i, c: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_in)
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_in)
+            ]
+        scal16 = tabs["scalars"].reshape(C, 1, 16)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[*const_specs, *in_specs],
+            out_specs=[
+                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(2)
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, bsz, n), jnp.uint32) for _ in range(2)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interp,
+        )(
+            jnp.asarray(scal16),
+            jnp.asarray(planes1), jnp.asarray(cvec1),
+            jnp.asarray(planes2), jnp.asarray(cvec2),
+            *(jnp.asarray(m) for m in mont),
+            *xs,
+        )
+
+    return call
+
+
+def _pad_b(x, pad):
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def _pad_cb(x, pad):
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+
+def fwd_multi(limbs: tuple, primes: tuple):
+    """All Plan52 channels' forward NTTs in one kernel: (lo, hi) [B, n]
+    limb pair -> (lo, hi) of [C, B, n] canonical NTT-domain residues."""
+    n = limbs[0].shape[-1]
+    b = limbs[0].shape[0]
+    pad = (-b) % _B_TILE
+    xs = tuple(_pad_b(a, pad) for a in limbs)
+    call = _build_multi_call64(
+        n, tuple(primes), "fwd", (1,) * len(primes), False, interpret_mode()
+    )
+    lo, hi = call(*xs)
+    return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
+
+
+def inv_multi(x_lo, x_hi, primes: tuple, scales: tuple):
+    """All channels' scaled inverse NTTs in one kernel: [C, B, n] limb pairs
+    (any u64 representatives) -> standard-order canonical pairs."""
+    n = x_lo.shape[-1]
+    b = x_lo.shape[-2]
+    pad = (-b) % _B_TILE
+    call = _build_multi_call64(
+        n, tuple(primes), "inv", tuple(scales), False, interpret_mode()
+    )
+    lo, hi = call(_pad_cb(x_lo, pad), _pad_cb(x_hi, pad))
+    return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
+
+
+def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
+    """All channels' pointwise Montgomery product + scaled inverse in one
+    kernel: fl, fr = (lo, hi) pairs of [C, B, n] -> standard-order pairs."""
+    n = fl[0].shape[-1]
+    b = fl[0].shape[-2]
+    pad = (-b) % _B_TILE
+    call = _build_multi_call64(
+        n, tuple(primes), "inv", tuple(scales), True, interpret_mode()
+    )
+    lo, hi = call(
+        _pad_cb(fl[0], pad), _pad_cb(fl[1], pad),
+        _pad_cb(fr[0], pad), _pad_cb(fr[1], pad),
+    )
+    return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
+

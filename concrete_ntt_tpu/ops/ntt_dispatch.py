@@ -219,6 +219,10 @@ def try_fwd64_wide_all(parts, plans):
     eng = _mxu64_impl(n)
 
     limbs = tuple(parts) if len(parts) == 2 else (parts[0], jnp.zeros_like(parts[0]))
+    primes = tuple(pl.p for pl in plans)
+    if hasattr(eng, "fwd_multi") and eng.multi_applicable(n, primes):
+        lo, hi = eng.fwd_multi(limbs, primes)
+        return [(lo[i], hi[i]) for i in range(len(plans))]
     return [eng.fwd(limbs, n=n, p=pl.p) for pl in plans]
 
 
@@ -230,6 +234,15 @@ def try_pointwise_inv64_all(fl, fr, plans):
     if not all(_mxu64_wanted(n, pl.p) for pl in plans):
         return None
     eng = _mxu64_impl(n)
+    primes = tuple(pl.p for pl in plans)
+    scales = tuple(
+        pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p for pl in plans
+    )
+    if hasattr(eng, "pointwise_inv_multi") and eng.multi_applicable(n, primes):
+        lo, hi = eng.pointwise_inv_multi(
+            (fl[..., 0], fl[..., 1]), (fr[..., 0], fr[..., 1]), primes, scales
+        )
+        return [(lo[i], hi[i]) for i in range(len(plans))]
     from .u32 import mont_mul64, mont_neginv64
 
     outs = []
@@ -240,8 +253,7 @@ def try_pointwise_inv64_all(fl, fr, plans):
             pl.p,
             mont_neginv64(pl.p),
         )
-        scale = pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p
-        outs.append(eng.inv(prod, n=n, p=pl.p, scale=scale))
+        outs.append(eng.inv(prod, n=n, p=pl.p, scale=scales[i]))
     return outs
 
 

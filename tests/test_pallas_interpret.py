@@ -281,6 +281,58 @@ def test_mxu64_fused_fwd_inv_vs_xla(rng, p):
 
 
 # ---------------------------------------------------------------------------
+# mxu64_pallas — channel-grid kernels (all Plan52 channels, one pallas_call)
+# ---------------------------------------------------------------------------
+
+
+def test_mxu64_channel_grid_fwd_multi_vs_xla(rng):
+    primes = PRIMES52[:3]
+    limbs = tuple(
+        jnp.asarray(rng.integers(0, 1 << 32, (8, N_BIG), dtype=np.uint32))
+        for _ in range(2)
+    )
+    lo, hi = mxu64_pallas.fwd_multi(limbs, primes)
+    assert lo.shape == (3, 8, N_BIG)
+    for i, p in enumerate(primes):
+        want = mxu64.fwd(limbs, n=N_BIG, p=p)
+        np.testing.assert_array_equal(np.asarray(lo[i]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(hi[i]), np.asarray(want[1]))
+
+
+def test_mxu64_channel_grid_inv_multi_vs_xla(rng):
+    primes = PRIMES52[:3]
+    x_lo = jnp.asarray(rng.integers(0, 1 << 32, (3, 8, N_BIG), dtype=np.uint32))
+    x_hi = jnp.asarray(rng.integers(0, 1 << 32, (3, 8, N_BIG), dtype=np.uint32))
+    scales = tuple(pow(N_BIG, p - 2, p) * pow(2, 64, p) % p for p in primes)
+    lo, hi = mxu64_pallas.inv_multi(x_lo, x_hi, primes, scales)
+    for i, p in enumerate(primes):
+        want = mxu64.inv((x_lo[i], x_hi[i]), n=N_BIG, p=p, scale=scales[i])
+        np.testing.assert_array_equal(np.asarray(lo[i]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(hi[i]), np.asarray(want[1]))
+
+
+def test_mxu64_channel_grid_pointwise_inv_multi_vs_xla(rng):
+    primes = PRIMES52[:3]
+
+    def mk():
+        return (
+            jnp.asarray(rng.integers(0, 1 << 32, (3, 8, N_BIG), dtype=np.uint32)),
+            jnp.asarray(rng.integers(0, 1 << 32, (3, 8, N_BIG), dtype=np.uint32)),
+        )
+
+    fl, fr = mk(), mk()
+    scales = tuple(pow(N_BIG, p - 2, p) * pow(2, 64, p) % p for p in primes)
+    lo, hi = mxu64_pallas.pointwise_inv_multi(fl, fr, primes, scales)
+    for i, p in enumerate(primes):
+        prod = mont_mul64(
+            (fl[0][i], fl[1][i]), (fr[0][i], fr[1][i]), p, mont_neginv64(p)
+        )
+        want = mxu64.inv(prod, n=N_BIG, p=p, scale=scales[i])
+        np.testing.assert_array_equal(np.asarray(lo[i]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(hi[i]), np.asarray(want[1]))
+
+
+# ---------------------------------------------------------------------------
 # Dispatch integration: the full native polymul pipeline through the fused
 # kernels (ENGINE=mxu + interpret) against the forced-XLA pipeline.
 # ---------------------------------------------------------------------------
