@@ -3,7 +3,15 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench bench-full bench-headline scaling native clean
+.PHONY: test test-fast bench bench-full bench-headline scaling native clean \
+	baseline
+
+# measured per-core AVX512 CPU baseline (the headline denominator's
+# provenance; see BASELINE.md)
+baseline:
+	g++ -O3 -march=native -std=c++17 -o /tmp/baseline_avx512 \
+		benches/baseline_avx512.cpp
+	/tmp/baseline_avx512 16384
 
 test:
 	$(PY) -m pytest tests/ -q

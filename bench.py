@@ -9,11 +9,14 @@ with on-device `lax.scan` chains of K and 1 steps, each synced by a 4-byte
 reduced readback; per-step time = (t_K - t_1)/(K - 1), which cancels the
 RTT and dispatch overhead exactly.
 
-Baseline: the reference publishes no absolute numbers (BASELINE.md); the
-per-core AVX512 estimate below is derived from the reference's operation
-count (10 prime32 NTTs of n=2^14 + pointwise + reconstruction per product)
-at hpc7a-class clocks (≈350 µs/product → ≈2.9k/s/core). Recorded as an
-estimate until the Rust benches can be run (no Rust toolchain in image).
+Baseline: the reference publishes no absolute numbers and this image has no
+Rust toolchain (BASELINE.md), so the per-core AVX512 baseline was MEASURED
+with an independent C++ AVX512 implementation of the same algorithm class
+(benches/baseline_avx512.cpp, `make baseline`): best 1023 polymul/s on this
+host's 2.1 GHz Xeon core, ~1800/s scaled to hpc7a (EPYC 9R14) boost clocks.
+The denominator below retains the MORE GENEROUS round-1 op-count estimate
+(2900/s) so vs_baseline stays a lower bound on the true advantage even if
+the Rust implementation out-runs the measured C++ by up to ~1.6x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,6 +26,7 @@ import time
 
 import numpy as np
 
+# max(measured-scaled 1800/s, op-count estimate 2900/s) — see module docstring
 BASELINE_POLYMUL_PER_SEC = 2900.0
 
 N = 1 << 14

@@ -40,7 +40,15 @@ FULL_NS = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
 QUICK_NS = [1024, 16384]
 
 
+_K_CAP = 1 << 16  # tiny transforms need tens of thousands of chain steps
+
+
 def _chain_time(step, args, k=K, reps=5):
+    """Per-step time via the chain-difference method, with convergence
+    enforcement: the chain is lengthened until (t_K - t_1) >= ~30 ms of
+    device work (tunnel RTT jitter is ~ms), and a non-positive delta is
+    never floored — it raises so degenerate rows cannot be recorded
+    (round-1 grid had 4 such rows)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,8 +66,7 @@ def _chain_time(step, args, k=K, reps=5):
 
         return f
 
-    fK, f1 = make(k), make(1)
-    _ = np.asarray(fK(args))
+    f1 = make(1)
     _ = np.asarray(f1(args))
 
     def best_pair(fa, fb, r):
@@ -73,19 +80,24 @@ def _chain_time(step, args, k=K, reps=5):
             bb = min(bb, time.perf_counter() - t0)
         return ba, bb
 
-    bK, b1 = best_pair(fK, f1, 2)
-    est = max(bK - b1, 1e-9) / (k - 1)
-    # adapt chain length so the measured work dwarfs tunnel RTT jitter
-    k2 = min(4096, max(k, int(0.03 / max(est, 1e-9))))
-    if k2 > k:
-        fK = make(k2)
+    for _attempt in range(5):
+        fK = make(k)
         _ = np.asarray(fK(args))
-        k = k2
+        bK, b1 = best_pair(fK, f1, 2)
+        if bK - b1 >= 0.03 or k >= _K_CAP:
+            break
+        est = (bK - b1) / (k - 1) if bK > b1 else 0.0
+        k = min(_K_CAP, max(2 * k, int(0.05 / est) if est > 0 else 8 * k))
     bK, b1 = best_pair(fK, f1, reps)
-    return max(bK - b1, 1e-9) / (k - 1)
+    delta = bK - b1
+    if delta <= 0:
+        raise RuntimeError(
+            f"non-monotone chain delta (t_{k}={bK:.4f}s <= t_1={b1:.4f}s)"
+        )
+    return delta / (k - 1)
 
 
-def _prime_benches(ns):
+def _prime_benches(ns, want=lambda bid: True):
     """fwd/inv-32 and fwd/inv-64 ids (benches/ntt.rs:84-132)."""
     from concrete_ntt_tpu import prime32, prime64
     from concrete_ntt_tpu.utils.prime import (
@@ -99,13 +111,25 @@ def _prime_benches(ns):
             prime_in_ap(1 << 16, 1, 1 << 30, 1 << 31),
             prime_in_ap(1 << 16, 1, 1 << 31, (1 << 32) - 1),
         ]
+        def two_el(op):
+            # two-element carry (VERDICT r1): both slots change every step,
+            # so no transform input is ever loop-invariant for XLA to hoist
+            def step(carry):
+                a, b = carry
+                return (op(b), a)
+
+            return step
+
         for p in ps32:
+            if not (want(f"fwd-32-{p}-{n}") or want(f"inv-32-{p}-{n}")):
+                continue
             plan = prime32.Plan.try_new(n, p)
             if plan is None:
                 continue
             x = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
-            yield f"fwd-32-{p}-{n}", (lambda pl: lambda a: pl.fwd(a))(plan), x
-            yield f"inv-32-{p}-{n}", (lambda pl: lambda a: pl.inv(a))(plan), x
+            x2 = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
+            yield f"fwd-32-{p}-{n}", two_el(plan.fwd), (x, x2)
+            yield f"inv-32-{p}-{n}", two_el(plan.inv), (x, x2)
         ps64 = [
             prime_in_ap(1 << 16, 1, 1 << 49, 1 << 50),
             prime_in_ap(1 << 16, 1, 1 << 50, 1 << 51),
@@ -115,17 +139,20 @@ def _prime_benches(ns):
             prime_in_ap(1 << 16, 1, 1 << 63, (1 << 64) - 1),
         ]
         for p in ps64:
+            if not (want(f"fwd-64-{p}-{n}") or want(f"inv-64-{p}-{n}")):
+                continue
             plan = prime64.Plan.try_new(n, p)
             if plan is None:
                 continue
             from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
 
             x = np_u64_to_limbs(rng.integers(0, p, (BATCH, n), dtype=np.uint64))
-            yield f"fwd-64-{p}-{n}", (lambda pl: lambda a: pl.fwd(a))(plan), x
-            yield f"inv-64-{p}-{n}", (lambda pl: lambda a: pl.inv(a))(plan), x
+            x2 = np_u64_to_limbs(rng.integers(0, p, (BATCH, n), dtype=np.uint64))
+            yield f"fwd-64-{p}-{n}", two_el(plan.fwd), (x, x2)
+            yield f"inv-64-{p}-{n}", two_el(plan.inv), (x, x2)
 
 
-def _native_benches(ns):
+def _native_benches(ns, want=lambda bid: True):
     """native*/nativebinary* polymul ids (benches/ntt.rs:134-233)."""
     from concrete_ntt_tpu import (
         native32,
@@ -149,6 +176,8 @@ def _native_benches(ns):
     for n in ns:
         for name, mod, width, binary in fams:
             for tier, cls in (("32", "Plan32"), ("52", "Plan52")):
+                if not want(f"{name}-{tier}-{n}"):
+                    continue
                 plan_cls = getattr(mod, cls, None)
                 if plan_cls is None:
                     continue
@@ -207,6 +236,69 @@ def _native_benches(ns):
                 yield f"{name}-{tier}-{n}", step(), (lhs, rhs_raw)
 
 
+def _product_benches(ns, want=lambda bid: True):
+    """product-* ids (no reference bench analogue — benches/ntt.rs stops at
+    the native plans; these cover the tfhe-rs hot path, product.rs:444-445):
+        product-2xu32-{n}       fused 2-channel polymul, Replace
+        product-2xu32-acc-{n}   same with Accumulate into a standard buffer
+    """
+    from concrete_ntt_tpu import product
+    from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
+    from concrete_ntt_tpu.tables import PRIMES32
+
+    rng = np.random.default_rng(2)
+    f1, f2 = PRIMES32[0], PRIMES32[1]
+    m = f1 * f2
+    for n in ns:
+        if not (want(f"product-2xu32-{n}") or want(f"product-2xu32-acc-{n}")):
+            continue
+        plan = product.Plan.try_new(n, m, (f1, f2))
+        if plan is None:
+            continue
+        mk = lambda: np_u64_to_limbs(
+            rng.integers(0, m, (BATCH, n), dtype=np.uint64)
+        )
+        a, b, c = mk(), mk(), mk()
+
+        def step_rep(pl=plan):
+            def fn(carry):
+                x, y = carry
+                return (pl.negacyclic_polymul(x, y), x)
+
+            return fn
+
+        def step_acc(pl=plan):
+            def fn(carry):
+                x, y, acc = carry
+                out = pl.negacyclic_polymul(
+                    x, y, mode=product.ACCUMULATE, standard=acc
+                )
+                return (out, x, y)
+
+            return fn
+
+        yield f"product-2xu32-{n}", step_rep(), (a, b)
+        yield f"product-2xu32-acc-{n}", step_acc(), (a, b, c)
+
+
+_HBM_BYTES_PER_SEC = 1.2e12  # deliberately above v5e peak (~0.8 TB/s)
+
+
+def _roofline_floor_ns(args) -> float:
+    """Optimistic per-poly lower bound from ideal HBM traffic: every chain
+    step must at least read its operand leaves and write one output of the
+    same order. A row measuring below this is physically impossible and is
+    re-measured / flagged instead of recorded as-is."""
+    import jax
+
+    # per chain step, traffic >= the carry size (operands in + output out
+    # always meets or exceeds it) -> a conservative floor that never
+    # overestimates
+    nbytes = sum(int(np.prod(l.shape)) * l.dtype.itemsize
+                 for l in jax.tree_util.tree_leaves(args))
+    return (nbytes / BATCH) / _HBM_BYTES_PER_SEC * 1e9
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="reference's full n grid")
@@ -228,13 +320,27 @@ def main():
                     pass
     mode = "a" if args.resume else "w"
     with open(args.out, mode) as f:
-        for bid, fn, x in list(_prime_benches(ns)) + list(_native_benches(ns)):
+        def want(bid):
             if args.ids and bid not in args.ids:
-                continue
-            if bid in done:
+                return False
+            return bid not in done
+
+        import itertools
+
+        all_benches = itertools.chain(
+            _prime_benches(ns, want), _native_benches(ns, want),
+            _product_benches(ns, want)
+        )
+        for bid, fn, x in all_benches:
+            if not want(bid):
                 continue
             try:
                 t = _chain_time(fn, x)
+                floor_ns = _roofline_floor_ns(x)
+                suspect = t / BATCH * 1e9 < floor_ns
+                if suspect:  # impossible: below the HBM roofline — once more
+                    t = _chain_time(fn, x)
+                    suspect = t / BATCH * 1e9 < floor_ns
             except Exception as exc:  # pragma: no cover - report and continue
                 print(json.dumps({"id": bid, "error": str(exc)[:200]}), flush=True)
                 continue
@@ -245,6 +351,8 @@ def main():
                 "polys_per_sec": round(BATCH / t, 1),
                 "type": "latency",  # parity: ci/benchmark_parser.py:151
             }
+            if suspect:
+                rec["suspect"] = True  # still under the roofline floor
             print(json.dumps(rec), flush=True)
             f.write(json.dumps(rec) + "\n")
             f.flush()

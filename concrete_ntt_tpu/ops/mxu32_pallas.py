@@ -482,10 +482,32 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
 
 
 @lru_cache(maxsize=256)
+def _fused_pass_mat(n: int, p: int, which: str, n_limbs: int, scale: int,
+                    f: int):
+    """Pass planes with `f` logical rows fused into one kernel row: the
+    contraction matrix becomes kron(I_f, M), so the per-digit output width
+    grows from O to f*O. Mosaic miscompiles some u32 carry-add chains below
+    ~64 output lanes (CLAUDE.md); fusing keeps every kernel shape at >= 128
+    lanes — the XLA-side reshape [B, rows, K] -> [B, rows/f, f*K] is free
+    (row-major view)."""
+    ops = mxu32._operators(n, p)
+    if which == "Ainv" and scale != 1:
+        M = (ops["Ainv"].T.astype(object) * scale % p).astype(np.uint64)
+    else:
+        M = ops[which].T
+    if f > 1:
+        M = np.kron(np.eye(f, dtype=np.uint64), np.asarray(M, dtype=np.uint64))
+    return mxu32._prep(np.ascontiguousarray(M), p, 4 * n_limbs)
+
+
+@lru_cache(maxsize=256)
 def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
-                     n_limbs: int = 1, scale: int = 1, interp: bool = False):
+                     n_limbs: int = 1, scale: int = 1, interp: bool = False,
+                     row_fuse: int = 1):
     tbl = mxu32._mxu_tables(n, p)
-    if which == "A" and n_limbs > 1:
+    if row_fuse > 1:
+        mat = _fused_pass_mat(n, p, which, n_limbs, scale, row_fuse)
+    elif which == "A" and n_limbs > 1:
         mat = mxu32._wide_col_planes(n, p, n_limbs)
     elif which == "Ainv" and scale != 1:
         mat = mxu32._scaled_ainv_planes(n, p, scale)
@@ -552,22 +574,34 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
 
 
 def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=(),
-                n_limbs: int = 1, scale: int = 1):
+                n_limbs: int = 1, scale: int = 1, row_fuse: int = 1):
     """Fused one-pass modular matmul: x [B, rows, K] u32 (any representative,
     contract last; limb tuple for wide column passes) -> [B, rows, O].
     which in {A, F, G, Ainv}; pass the rank-local diagonal slices for the
-    scaled (A/G) passes."""
+    scaled (A/G) passes. row_fuse=f runs the kernel on [B, rows/f, f*K]
+    against kron(I_f, M) so small factors keep >= 128 output lanes."""
     xs = x if isinstance(x, tuple) else (x,)
     b, rows, _k = xs[0].shape
+    f = row_fuse
+    if f > 1:
+        if rows % f:
+            raise ValueError(f"row_fuse={f} must divide rows={rows}")
+        xs = tuple(a.reshape(b, rows // f, f * _k) for a in xs)
+        diag_slices = tuple(
+            d.reshape(rows // f, -1) for d in diag_slices
+        )
     pad = (-b) % _B_TILE
     if pad:
         xs = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in xs)
     call = _build_pass_call(
-        n, p, which, bool(diag_slices), rows, len(xs), scale % p,
-        interpret_mode(),
+        n, p, which, bool(diag_slices), rows // f, len(xs), scale % p,
+        interpret_mode(), f,
     )
     out = call(*xs, *diag_slices)
-    return out[:b] if pad else out
+    out = out[:b] if pad else out
+    if f > 1:
+        out = out.reshape(b, rows, -1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +618,13 @@ def _split_n(n: int):
     return n1, n // n1
 
 
+def _fuse_for(o: int) -> int:
+    """Row-fusion factor keeping the per-digit output width at >= 64 lanes
+    (the verified-safe floor for the u32 carry-add combine; fused shapes
+    target 128)."""
+    return 1 if o >= 64 else 128 // o
+
+
 def fwd_passes(x, *, n: int, p: int):
     return fwd_wide_passes((x,), n=n, p=p)
 
@@ -594,9 +635,10 @@ def fwd_wide_passes(limbs: tuple, *, n: int, p: int):
     b = limbs[0].shape[0]
     d = tuple(jnp.asarray(a) for a in tbl["d"])
     v = tuple(a.reshape(b, n1, n2).transpose(0, 2, 1) for a in limbs)
-    y = pass_matmod(v, n=n, p=p, which="A", diag_slices=d, n_limbs=len(limbs))
+    y = pass_matmod(v, n=n, p=p, which="A", diag_slices=d, n_limbs=len(limbs),
+                    row_fuse=_fuse_for(n1))
     y = y.transpose(0, 2, 1)  # [B, n1, n2]
-    out = pass_matmod(y, n=n, p=p, which="F")
+    out = pass_matmod(y, n=n, p=p, which="F", row_fuse=_fuse_for(n2))
     return out.reshape(b, n)
 
 
@@ -606,9 +648,11 @@ def inv_passes(x, *, n: int, p: int, scale: int = 1):
     b = x.shape[0]
     e = tuple(jnp.asarray(a) for a in tbl["e"])
     v = x.reshape(b, n1, n2)
-    y = pass_matmod(v, n=n, p=p, which="G", diag_slices=e)
+    y = pass_matmod(v, n=n, p=p, which="G", diag_slices=e,
+                    row_fuse=_fuse_for(n2))
     y = y.transpose(0, 2, 1)  # [B, n2, n1]
-    out = pass_matmod(y, n=n, p=p, which="Ainv", scale=scale)
+    out = pass_matmod(y, n=n, p=p, which="Ainv", scale=scale,
+                      row_fuse=_fuse_for(n1))
     return out.transpose(0, 2, 1).reshape(b, n)
 
 

@@ -138,6 +138,190 @@ def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
 
 
 # ---------------------------------------------------------------------------
+# Per-pass fused kernels + mid-size passes engine (4096 <= n < 2^14): the
+# whole-transform kernel needs both four-step factors >= 128 (Mosaic
+# in-kernel reshapes), and the 3-limb u32 carry-add combine MISCOMPILES
+# below ~128 output lanes (CLAUDE.md: wrong s6 at 64 lanes). Mid sizes run
+# as two pass kernels with the transpose in XLA, and small factors fuse f
+# logical rows per kernel row against kron(I_f, M) so the per-digit output
+# width stays >= 128 lanes (same trick as mxu32_pallas._fused_pass_mat).
+# ---------------------------------------------------------------------------
+
+
+def _fuse_for64(o: int) -> int:
+    return 1 if o >= 128 else 128 // o
+
+
+@lru_cache(maxsize=128)
+def _fused_pass_mat64(n: int, p: int, which: str, n_limbs: int, scale: int,
+                      f: int):
+    ops = mxu64._operators(n, p)
+    if which == "Ainv" and scale != 1:
+        M = (ops["Ainv"].T.astype(object) * scale % p).astype(np.uint64)
+    else:
+        M = ops[which].T
+    if f > 1:
+        M = np.kron(np.eye(f, dtype=np.uint64), np.asarray(M, dtype=np.uint64))
+    return mxu64._prep64(np.ascontiguousarray(M), p, 4 * n_limbs)
+
+
+@lru_cache(maxsize=128)
+def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
+                       n_limbs: int, scale: int, f: int, interp: bool):
+    tbl = mxu64._tables(n, p)
+    planes, cvec = _fused_pass_mat64(n, p, which, n_limbs, scale, f)
+    n_mont = 4 if scaled else 0
+    k_lane = planes.shape[0] // (4 * n_limbs)
+    o = planes.shape[1] // tbl["n_d"]
+
+    def kernel(*refs):
+        p_ref, c_ref = refs[0], refs[1]
+        mont_refs = refs[2 : 2 + n_mont]
+        x_refs = refs[2 + n_mont : 2 + n_mont + n_limbs]
+        out_lo_ref, out_hi_ref = refs[-2], refs[-1]
+        v = tuple(r[:] for r in x_refs)
+        big = mxu64._dot(mxu64._digit_cat(v), p_ref[:])
+        trip = mxu64._combine8(big, jnp.asarray(c_ref[:]), o, tbl["n_d"])
+        if scaled:
+            rep = mxu64._fold3to2(*trip, tbl)
+            wt = (mont_refs[0][:], mont_refs[1][:])
+            kk = (mont_refs[2][:], mont_refs[3][:])
+            y = mxu64._scale_mont(rep, (wt[0], wt[1], kk[0], kk[1]), tbl)
+            lo, hi = y
+        else:
+            lo, hi = mxu64._canonical(*trip, tbl)
+        out_lo_ref[:] = lo
+        out_hi_ref[:] = hi
+
+    def call(*args):
+        xs, mont_slices = args[:n_limbs], args[n_limbs:]
+        bsz = xs[0].shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz // _B_TILE,),
+            in_specs=[
+                pl.BlockSpec(planes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(cvec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                *[
+                    pl.BlockSpec(
+                        mont_slices[j].shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for j in range(n_mont)
+                ],
+                *[
+                    pl.BlockSpec(
+                        (_B_TILE, rows, k_lane), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for _ in range(n_limbs)
+                ],
+            ],
+            out_specs=[
+                pl.BlockSpec((_B_TILE, rows, o), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(2)
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz, rows, o), jnp.uint32)
+                for _ in range(2)
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interp,
+        )(jnp.asarray(planes), jnp.asarray(cvec), *mont_slices, *xs)
+
+    return call
+
+
+def pass_matmod64(x_pair, *, n: int, p: int, which: str, mont_slices=(),
+                  scale: int = 1, row_fuse: int = 1):
+    """One fused modular-matmul pass on limb pairs: x (lo, hi) [B, rows, K]
+    (or a longer limb tuple for wide column passes) -> (lo, hi) [B, rows, O].
+    Scaled (A/G) passes take the 4 rank-local mont-table slices; the final
+    pass is canonical."""
+    xs = tuple(x_pair)
+    b, rows, _k = xs[0].shape
+    f = row_fuse
+    if f > 1:
+        if rows % f:
+            raise ValueError(f"row_fuse={f} must divide rows={rows}")
+        xs = tuple(a.reshape(b, rows // f, f * _k) for a in xs)
+        mont_slices = tuple(m.reshape(rows // f, -1) for m in mont_slices)
+    pad = (-b) % _B_TILE
+    if pad:
+        xs = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in xs)
+    call = _build_pass_call64(
+        n, p, which, bool(mont_slices), rows // f, len(xs), scale % p, f,
+        interpret_mode(),
+    )
+    mont_slices = tuple(jnp.asarray(m) for m in mont_slices)
+    lo, hi = call(*xs, *mont_slices)
+    if pad:
+        lo, hi = lo[:b], hi[:b]
+    if f > 1:
+        lo = lo.reshape(b, rows, -1)
+        hi = hi.reshape(b, rows, -1)
+    return lo, hi
+
+
+def fwd_passes64(limbs: tuple, *, n: int, p: int):
+    tbl = mxu64._tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = limbs[0].shape[0]
+    d = tuple(jnp.asarray(a) for a in tbl["d"])  # 4 × [n2, n1]
+    v = tuple(a.reshape(b, n1, n2).transpose(0, 2, 1) for a in limbs)
+    y = pass_matmod64(v, n=n, p=p, which="A", mont_slices=d,
+                      row_fuse=_fuse_for64(n1))
+    y = tuple(a.transpose(0, 2, 1) for a in y)  # [B, n1, n2]
+    lo, hi = pass_matmod64(y, n=n, p=p, which="F", row_fuse=_fuse_for64(n2))
+    return lo.reshape(b, n), hi.reshape(b, n)
+
+
+def inv_passes64(limbs: tuple, *, n: int, p: int, scale: int = 1):
+    tbl = mxu64._tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    b = limbs[0].shape[0]
+    e = tuple(jnp.asarray(a) for a in tbl["e"])  # 4 × [n1, n2]
+    v = tuple(a.reshape(b, n1, n2) for a in limbs)
+    y = pass_matmod64(v, n=n, p=p, which="G", mont_slices=e,
+                      row_fuse=_fuse_for64(n2))
+    y = tuple(a.transpose(0, 2, 1) for a in y)  # [B, n2, n1]
+    lo, hi = pass_matmod64(y, n=n, p=p, which="Ainv", scale=scale,
+                           row_fuse=_fuse_for64(n1))
+    return (
+        lo.transpose(0, 2, 1).reshape(b, n),
+        hi.transpose(0, 2, 1).reshape(b, n),
+    )
+
+
+class _PassesEngine64:
+    """Engine facade for mid sizes (same fwd/inv surface as this module)."""
+
+    @staticmethod
+    def fwd(limbs, *, n, p):
+        return fwd_passes64(tuple(limbs), n=n, p=p)
+
+    @staticmethod
+    def inv(limbs, *, n, p, scale=1):
+        return inv_passes64(tuple(limbs), n=n, p=p, scale=scale % p)
+
+
+passes_engine64 = _PassesEngine64()
+
+
+def passes_applicable(n: int) -> bool:
+    """Both pass shapes must reach 128 fused lanes with integral fusion."""
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    n2 = n // n1
+    for o, rows in ((n1, n2), (n2, n1)):
+        f = _fuse_for64(o)
+        if o * f < 128 or rows % f:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
 # Channel-grid kernels: ALL prime64 CRT channels (Plan52 tiers) in ONE
 # pallas_call — the 64-bit port of ops/mxu32_pallas.py's multi kernels.
 #

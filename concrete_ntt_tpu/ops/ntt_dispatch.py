@@ -67,8 +67,10 @@ def _mxu_impl(n):
 
         if mxu32_pallas.fused_applicable(n):
             return mxu32_pallas
-        if n >= 4096:  # mid sizes: two fused pass kernels + XLA transpose
-            # (n=2048 -> n1=32 miscompiles in Mosaic; it stays on pure XLA)
+        if n >= 2048:  # mid sizes: two fused pass kernels + XLA transpose.
+            # n=2048's n1=32 pass uses row_fuse=4 (kron(I_4, M)) to keep the
+            # output at 128 lanes — the bare 32-lane shape miscompiles in
+            # Mosaic (wrong u32 carry-add chains).
             return mxu32_pallas.passes_engine
     from . import mxu32
 
@@ -131,6 +133,28 @@ def try_pointwise_inv32_all(fl, fr, plans):
     return outs
 
 
+def try_inv32_all(stacked, plans, scales=None):
+    """Plain (unnormalized unless scaled) inverse NTTs for all prime32
+    channels of a CRT plan in one channel-grid kernel. stacked: [k, B, n]
+    any-u32 representatives -> list of standard-order canonical residues.
+    Returns None when the MXU channel-grid path does not apply."""
+    n = stacked.shape[-1]
+    if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
+        return None
+    eng = _mxu_impl(n)
+    if scales is None:
+        scales = (1,) * len(plans)
+    if hasattr(eng, "inv_multi") and all(
+        (1 << 29) < pl.p < (1 << 30) for pl in plans
+    ):
+        out = eng.inv_multi(stacked, tuple(pl.p for pl in plans), tuple(scales))
+        return [out[i] for i in range(len(plans))]
+    return [
+        eng.inv(stacked[i], n=n, p=pl.p, scale=scales[i])
+        for i, pl in enumerate(plans)
+    ]
+
+
 def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
     """End-to-end stacked negacyclic polymul fast path for plan32 CRT plans
     on the fused-Pallas MXU engine: fwd both operands (channel-grid kernels),
@@ -186,8 +210,11 @@ def _mxu64_impl(n):
 
         if mxu64_pallas.fused_applicable(n):
             return mxu64_pallas
-        # mid sizes stay on the XLA engine: the 64-bit limb-combine
-        # miscompiles in Mosaic below 128 lanes (see CLAUDE.md)
+        if n >= 2048 and mxu64_pallas.passes_applicable(n):
+            # mid sizes: two fused pass kernels + XLA transpose, with small
+            # factors row-fused to 128 output lanes (the bare 64-lane 3-limb
+            # combine miscompiles in Mosaic — CLAUDE.md)
+            return mxu64_pallas.passes_engine64
     from . import mxu64
 
     return mxu64

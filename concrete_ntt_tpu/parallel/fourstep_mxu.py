@@ -24,11 +24,12 @@ virtual CPU mesh, XLA int8 dots are exact everywhere).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import mxu32
+from ..ops import mxu32, mxu64
 
 
 def make_sharded_prime32_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
@@ -133,5 +134,109 @@ def make_sharded_prime32_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
         b = x_3d.shape[0]
         gathered = jax.device_put(x_3d, NamedSharding(mesh, P(dp, None, None)))
         return gathered.reshape(b, n)
+
+    return fwd, inv, to_dist, from_dist
+
+
+def make_sharded_prime64_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
+    """(fwd, inv, to_dist, from_dist) for one prime64 channel (u64 limb-pair
+    values) — the 64-bit twin of make_sharded_prime32_mxu, so Plan52 tiers
+    and Goldilocks scale multi-chip too.
+
+    fwd: [B, n1, n2, 2] values (P(dp, None, sp, None)) -> NTT domain
+         (P(dp, sp, None, None)); inv mirrors. One all_to_all per transform.
+    """
+    n, p = plan.n, plan.p
+    tbl = mxu64._tables(n, p)
+    n1, n2 = tbl["n1"], tbl["n2"]
+    s = mesh.shape[axis]
+    if n2 % s or n1 % s:
+        raise ValueError(f"mesh axis size {s} must divide n1={n1} and n2={n2}")
+
+    dp = batch_axis
+    val_spec = P(dp, None, axis, None)
+    ntt_spec = P(dp, axis, None, None)
+
+    d_tabs = tuple(np.asarray(a) for a in tbl["d"])  # 4 × [n2, n1]
+    e_tabs = tuple(np.asarray(a) for a in tbl["e"])  # 4 × [n1, n2]
+
+    use_pallas = False
+    try:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    except Exception:
+        pass
+
+    def _pass(pair, which, mont=(), scale=1):
+        if use_pallas:
+            from ..ops import mxu64_pallas
+
+            o = n1 if which in ("A", "Ainv") else n2
+            return mxu64_pallas.pass_matmod64(
+                pair, n=n, p=p, which=which, mont_slices=tuple(mont),
+                scale=scale, row_fuse=mxu64_pallas._fuse_for64(o),
+            )
+        if mont:
+            return mxu64._matmod_scaled_lazy(pair, tbl[which], tuple(mont), tbl)
+        if scale != 1:
+            mat = mxu64._scaled_ainv_planes(n, p, scale % p)
+            return mxu64._matmod_canonical(pair, mat, tbl)
+        return mxu64._matmod_canonical(pair, tbl[which], tbl)
+
+    def fwd_local(x_loc, *d_loc):
+        v = (x_loc[..., 0].transpose(0, 2, 1), x_loc[..., 1].transpose(0, 2, 1))
+        y = _pass(v, "A", d_loc)  # [b, n2/s, n1] lazy pair
+        y = jnp.stack(y, axis=-1)
+        y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=1, tiled=True)
+        y = (y[..., 0].transpose(0, 2, 1), y[..., 1].transpose(0, 2, 1))
+        lo, hi = _pass(y, "F")  # [b, n1/s, n2] canonical
+        return jnp.stack([lo, hi], axis=-1)
+
+    def inv_local(x_loc, *e_loc):
+        v = (x_loc[..., 0], x_loc[..., 1])
+        y = _pass(v, "G", e_loc)  # [b, n1/s, n2] lazy pair
+        y = jnp.stack(y, axis=-1)
+        y = jax.lax.all_to_all(y, axis, split_axis=2, concat_axis=1, tiled=True)
+        y = (y[..., 0].transpose(0, 2, 1), y[..., 1].transpose(0, 2, 1))
+        lo, hi = _pass(y, "Ainv")  # [b, n2/s, n1] canonical
+        return jnp.stack([lo.transpose(0, 2, 1), hi.transpose(0, 2, 1)], axis=-1)
+
+    fwd_sharded = shard_map(
+        fwd_local,
+        mesh=mesh,
+        in_specs=(val_spec, *([P(axis, None)] * 4)),
+        out_specs=ntt_spec,
+        check_vma=False,
+    )
+    inv_sharded = shard_map(
+        inv_local,
+        mesh=mesh,
+        in_specs=(ntt_spec, *([P(axis, None)] * 4)),
+        out_specs=val_spec,
+        check_vma=False,
+    )
+
+    d_dev = tuple(
+        jax.device_put(a, NamedSharding(mesh, P(axis, None))) for a in d_tabs
+    )
+    e_dev = tuple(
+        jax.device_put(a, NamedSharding(mesh, P(axis, None))) for a in e_tabs
+    )
+
+    def fwd(x):
+        return fwd_sharded(x, *d_dev)
+
+    def inv(x):
+        return inv_sharded(x, *e_dev)
+
+    def to_dist(limbs):
+        b = limbs.shape[0]
+        return jax.device_put(
+            limbs.reshape(b, n1, n2, 2), NamedSharding(mesh, val_spec)
+        )
+
+    def from_dist(x):
+        b = x.shape[0]
+        gathered = jax.device_put(x, NamedSharding(mesh, P(dp, None, None, None)))
+        return gathered.reshape(b, n, 2)
 
     return fwd, inv, to_dist, from_dist

@@ -185,6 +185,17 @@ class Plan:
             and len(self.plans64) == 0
             and mode[1] < min(self.primes32)
         )
+        if not use_bounded and self.plans32 and not self.plans64:
+            # fused split+fwd: the channel-grid kernels consume raw limbs
+            # (residue reduction folded into the column matmul)
+            from .ops import ntt_dispatch
+
+            ntts = ntt_dispatch.try_fwd32_wide_all((lo, hi), self.plans32)
+            if ntts is not None:
+                out32 = jnp.stack(ntts, axis=0).reshape(
+                    len(ntts), *lead, self.n
+                )
+                return NttDomain(out32, None)
         if use_bounded:
             # centered representation (product.rs:303-322): values are small
             # signed quantities mod `modulus`; lift negatives to p_i - (m - v).
@@ -237,7 +248,11 @@ class Plan:
             arr = jnp.asarray(ntt.res32)
             lead = arr.shape[1:-1]
             arr = arr.reshape(k32, -1, self.n)
-            res32 = [self.plans32[i].inv(arr[i]) for i in range(k32)]
+            from .ops import ntt_dispatch
+
+            res32 = ntt_dispatch.try_inv32_all(arr, self.plans32)
+            if res32 is None:
+                res32 = [self.plans32[i].inv(arr[i]) for i in range(k32)]
         res64 = []
         if k64:
             arr = jnp.asarray(ntt.res64)
@@ -250,10 +265,28 @@ class Plan:
         if lead is None:  # no channels at all: value is 0 (product.rs:386-393)
             raise ValueError("plan has no channels")
 
-        # Knuth 4.3.2 mixed-radix digits with pairwise inverses
-        # (product.rs:791-879): channel order = u32 channels then u64 channels.
-        # factors are sorted ascending, so every earlier digit v_i < p_i < p_j
-        # is already reduced mod p_j (the reference relies on the same order).
+        acc = self._mixed_radix_lift(res32, res64)
+
+        if mode == ACCUMULATE:
+            if standard is None:
+                raise ValueError("accumulate mode requires the standard buffer")
+            s_lo, s_hi, lead2, fmt2 = self._marshal(standard)
+            acc = add_mod64((s_lo, s_hi), acc, self.modulus)
+            lead = lead2
+            out_format = out_format or fmt2
+
+        out = jnp.stack(acc, axis=-1).reshape(*lead, self.n, 2)
+        if (out_format or "np64") == "np64":
+            return limbs_to_np_u64(np.asarray(out))
+        return out
+
+    def _mixed_radix_lift(self, res32, res64):
+        """Knuth 4.3.2 mixed-radix digits with pairwise inverses
+        (product.rs:791-879) + wrapping-u64 Horner accumulation: standard-
+        order channel residues -> canonical value mod `modulus` (limb pair).
+        Channel order = u32 channels then u64 channels; factors are sorted
+        ascending, so every earlier digit v_i < p_i < p_j is already reduced
+        mod p_j (the reference relies on the same order)."""
         digits32 = []
         for j, pj in enumerate(self.primes32):
             x = res32[j]
@@ -284,19 +317,7 @@ class Plan:
             acc = add64(mullo64(acc, const64_like(p)), v)
         for v, p in zip(reversed(digits32), reversed(self.primes32)):
             acc = add64(mul64_u32(acc, jnp.uint32(p)), (v, jnp.zeros_like(v)))
-
-        if mode == ACCUMULATE:
-            if standard is None:
-                raise ValueError("accumulate mode requires the standard buffer")
-            s_lo, s_hi, lead2, fmt2 = self._marshal(standard)
-            acc = add_mod64((s_lo, s_hi), acc, self.modulus)
-            lead = lead2
-            out_format = out_format or fmt2
-
-        out = jnp.stack(acc, axis=-1).reshape(*lead, self.n, 2)
-        if (out_format or "np64") == "np64":
-            return limbs_to_np_u64(np.asarray(out))
-        return out
+        return acc
 
     # -- elementwise (channel-wise delegation, product.rs:885-966) --------------
 
@@ -355,11 +376,55 @@ class Plan:
             )
         return NttDomain(r32, r64)
 
-    # -- convenience -------------------------------------------------------------
+    # -- convenience + the tfhe-rs hot path --------------------------------------
 
-    def negacyclic_polymul(self, lhs, rhs):
+    def negacyclic_polymul(self, lhs, rhs, mode=REPLACE, standard=None,
+                           out_format=None):
+        """End-to-end product mod `modulus`; mode=ACCUMULATE adds into
+        `standard` (the tfhe-rs NTT-PBS hot loop, product.rs:444-445).
+
+        u32-only channel sets ride the fused MXU fast path: residue split
+        folded into the channel-grid forward kernels, bare Montgomery
+        pointwise + scaled inverse in one kernel, then the CRT lift (+
+        accumulate) as one fused XLA elementwise stage — the TPU shape of
+        the reference's hand-written AVX512 lift+accumulate kernel
+        (product.rs:419-789). Falls back to the generic channel-wise path
+        (bit-identical) when the kernels don't apply."""
+        out = self._try_polymul_fused(lhs, rhs, mode, standard, out_format)
+        if out is not None:
+            return out
         fl = self.fwd(lhs)
         fr = self.fwd(rhs)
-        return self.inv(self.mul_assign_normalize(fl, fr))
+        return self.inv(
+            self.mul_assign_normalize(fl, fr), mode, standard, out_format
+        )
+
+    def _try_polymul_fused(self, lhs, rhs, mode, standard, out_format):
+        if self.plans64 or not self.plans32:
+            return None
+        from .ops import ntt_dispatch
+
+        lo, hi, lead, fmt = self._marshal(lhs)
+        rlo, rhi, _, _ = self._marshal(rhs)
+        fl = ntt_dispatch.try_fwd32_wide_all((lo, hi), self.plans32)
+        if fl is None:
+            return None
+        fr = ntt_dispatch.try_fwd32_wide_all((rlo, rhi), self.plans32)
+        res = ntt_dispatch.try_pointwise_inv32_all(
+            jnp.stack(fl, axis=0), jnp.stack(fr, axis=0), self.plans32
+        )
+        if res is None:
+            return None
+        acc = self._mixed_radix_lift(list(res), [])
+        if mode == ACCUMULATE:
+            if standard is None:
+                raise ValueError("accumulate mode requires the standard buffer")
+            s_lo, s_hi, lead, fmt2 = self._marshal(standard)
+            acc = add_mod64((s_lo, s_hi), acc, self.modulus)
+            fmt = fmt2
+        out = jnp.stack(acc, axis=-1).reshape(*lead, self.n, 2)
+        if (out_format or fmt or "np64") == "np64":
+            return limbs_to_np_u64(np.asarray(out))
+        return out
 
 

@@ -245,6 +245,45 @@ def test_passes_engine_fwd_inv_vs_xla(rng):
     np.testing.assert_array_equal(got_w, want_w)
 
 
+@pytest.mark.parametrize("n", [2048])
+def test_passes_engine_row_fused_midsize(rng, n):
+    """n=2048: the n1=32 pass runs row-fused (kron(I_4, M), 128 lanes)."""
+    p = PRIMES32[0]
+    x = rng.integers(0, 1 << 32, (8, n), dtype=np.uint32)
+    want_f = np.asarray(mxu32.fwd(jnp.asarray(x), n=n, p=p))
+    got_f = np.asarray(mxu32_pallas.passes_engine.fwd(jnp.asarray(x), n=n, p=p))
+    np.testing.assert_array_equal(got_f, want_f)
+    s = _scale(n, p)
+    want_i = np.asarray(mxu32.inv(jnp.asarray(x), n=n, p=p, scale=s))
+    got_i = np.asarray(mxu32_pallas.passes_engine.inv(jnp.asarray(x), n=n, p=p, scale=s))
+    np.testing.assert_array_equal(got_i, want_i)
+    limbs = (jnp.asarray(x),
+             jnp.asarray(rng.integers(0, 1 << 32, (8, n), dtype=np.uint32)))
+    want_w = np.asarray(mxu32.fwd_wide(limbs, n=n, p=p))
+    got_w = np.asarray(mxu32_pallas.passes_engine.fwd_wide(limbs, n=n, p=p))
+    np.testing.assert_array_equal(got_w, want_w)
+
+
+@pytest.mark.parametrize("n", [2048, 4096, 8192])
+@pytest.mark.parametrize("p", [GOLDILOCKS, PRIMES52[0]])
+def test_mxu64_passes_engine_midsize(rng, n, p):
+    """prime64 mid-size tier: row-fused pass kernels vs the XLA engine."""
+    assert mxu64_pallas.passes_applicable(n)
+    limbs = tuple(
+        jnp.asarray(rng.integers(0, 1 << 32, (8, n), dtype=np.uint32))
+        for _ in range(2)
+    )
+    want = mxu64.fwd(limbs, n=n, p=p)
+    got = mxu64_pallas.passes_engine64.fwd(limbs, n=n, p=p)
+    for a, b, nm in zip(got, want, ("lo", "hi")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=nm)
+    s = pow(n, p - 2, p) * pow(2, 64, p) % p
+    want = mxu64.inv(limbs, n=n, p=p, scale=s)
+    got = mxu64_pallas.passes_engine64.inv(limbs, n=n, p=p, scale=s)
+    for a, b, nm in zip(got, want, ("lo", "hi")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=nm)
+
+
 # ---------------------------------------------------------------------------
 # mxu64_pallas — whole-transform fused 64-bit kernel
 # ---------------------------------------------------------------------------
@@ -352,6 +391,45 @@ def test_native64_polymul_through_pallas_kernels(rng, monkeypatch):
     monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
     got = np.asarray(plan.negacyclic_polymul(lhs, rhs))
     np.testing.assert_array_equal(got, want)
+
+
+def test_product_2xu32_fused_polymul_through_pallas_kernels(rng, monkeypatch):
+    """The tfhe-rs hot path (2xu32 product plan) through the channel-grid
+    kernels: fused split+fwd, Montgomery pointwise + scaled inverse, CRT
+    lift (+ accumulate) — vs the forced-XLA generic path."""
+    from concrete_ntt_tpu import product
+
+    f1, f2 = PRIMES32[0], PRIMES32[1]
+    m = f1 * f2
+    plan = product.Plan.new(N_BIG, m, (f1, f2))
+    lhs = (rng.integers(0, m, (2, N_BIG)).astype(np.uint64))
+    rhs = (rng.integers(0, m, (2, N_BIG)).astype(np.uint64))
+    acc0 = (rng.integers(0, m, (2, N_BIG)).astype(np.uint64))
+
+    monkeypatch.setenv("CONCRETE_NTT_TPU_FORCE_XLA", "1")
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    want_acc = np.asarray(
+        plan.negacyclic_polymul(lhs, rhs, mode=product.ACCUMULATE, standard=acc0)
+    )
+    monkeypatch.delenv("CONCRETE_NTT_TPU_FORCE_XLA")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    got = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    got_acc = np.asarray(
+        plan.negacyclic_polymul(lhs, rhs, mode=product.ACCUMULATE, standard=acc0)
+    )
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_acc, want_acc)
+
+    # standalone fwd/inv also ride the channel-grid kernels
+    monkeypatch.setenv("CONCRETE_NTT_TPU_FORCE_XLA", "1")
+    want_dom = plan.fwd(lhs)
+    want_back = np.asarray(plan.inv(plan.normalize(want_dom)))
+    monkeypatch.delenv("CONCRETE_NTT_TPU_FORCE_XLA")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    got_dom = plan.fwd(lhs)
+    np.testing.assert_array_equal(np.asarray(got_dom.res32), np.asarray(want_dom.res32))
+    got_back = np.asarray(plan.inv(plan.normalize(got_dom)))
+    np.testing.assert_array_equal(got_back, want_back)
 
 
 def test_native64_plan52_fwd_through_pallas_kernels(rng, monkeypatch):

@@ -126,3 +126,30 @@ def test_fourstep_mxu_matches_single_chip(sp, rng, cpu_mesh_devices, monkeypatch
     np.testing.assert_array_equal(
         rt, (x.astype(np.uint64) * np.uint64(n) % np.uint64(p)).astype(np.uint32)
     )
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_fourstep_mxu64_matches_single_chip(sp, rng, cpu_mesh_devices, monkeypatch):
+    """prime64 sharded four-step (limb pairs): Plan52/Goldilocks multi-chip."""
+    from concrete_ntt_tpu import prime64
+    from concrete_ntt_tpu.parallel.fourstep_mxu import make_sharded_prime64_mxu
+    from concrete_ntt_tpu.tables import GOLDILOCKS
+
+    n, p = 4096, GOLDILOCKS
+    mesh = _mesh((8 // sp, sp), ("dp", "sp"))
+    plan = prime64.Plan.new(n, p)
+    fwd, inv, to_dist, from_dist = make_sharded_prime64_mxu(
+        plan, mesh, axis="sp", batch_axis="dp"
+    )
+    x = np_u64_to_limbs(rng.integers(0, p, (4, n), dtype=np.uint64))
+    got = np.asarray(from_dist(fwd(to_dist(jnp.asarray(x)))))
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    want = np.asarray(plan.fwd(x))
+    np.testing.assert_array_equal(got, want)
+    back = np.asarray(from_dist(inv(to_dist(jnp.asarray(want)))))
+    np.testing.assert_array_equal(back, np.asarray(plan.inv(want)))
+    rt = limbs_to_np_u64(np.asarray(from_dist(inv(fwd(to_dist(jnp.asarray(x)))))))
+    want_rt = (
+        limbs_to_np_u64(x).astype(object) * n % p
+    ).astype(np.uint64)
+    np.testing.assert_array_equal(rt, want_rt)

@@ -85,6 +85,19 @@ def test_inv_accumulate(rng):
     assert got.tolist() == want
 
 
+def test_polymul_accumulate_mode(rng):
+    """negacyclic_polymul(mode=ACCUMULATE): the tfhe-rs PBS composite
+    (fwd, fwd, pointwise, lift, += acc) in one call (product.rs:444-445)."""
+    plan, m = _mk(N, [P30A, P30B])
+    lhs = _rand_mod(rng, m)
+    rhs = _rand_mod(rng, m)
+    acc0 = _rand_mod(rng, m)
+    got = plan.negacyclic_polymul(lhs, rhs, mode=product.ACCUMULATE, standard=acc0)
+    conv = gpoly.negacyclic_convolution_mod(lhs.tolist(), rhs.tolist(), m)
+    want = [(int(a) + c) % m for a, c in zip(acc0, conv)]
+    assert got.tolist() == want
+
+
 def test_fwd_bounded(rng):
     # Bounded mode: inputs are centered small values mod m; roundtrip must
     # reproduce them exactly (product.rs:303-322 semantics).
