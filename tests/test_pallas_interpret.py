@@ -432,6 +432,23 @@ def test_product_2xu32_fused_polymul_through_pallas_kernels(rng, monkeypatch):
     np.testing.assert_array_equal(got_back, want_back)
 
 
+def test_native_binary64_polymul_through_pallas_kernels(rng, monkeypatch):
+    """rhs_binary path of the stacked fast path (fwd_binary semantics)."""
+    from concrete_ntt_tpu import native_binary64
+
+    plan = native_binary64.Plan32.try_new(N_BIG)
+    assert plan is not None
+    lhs = rng.integers(0, 1 << 64, (2, N_BIG), dtype=np.uint64)
+    rhs = rng.integers(0, 2, (2, N_BIG)).astype(np.uint64)
+
+    monkeypatch.setenv("CONCRETE_NTT_TPU_FORCE_XLA", "1")
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs, rhs_binary=True))
+    monkeypatch.delenv("CONCRETE_NTT_TPU_FORCE_XLA")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    got = np.asarray(plan.negacyclic_polymul(lhs, rhs, rhs_binary=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_native64_plan52_fwd_through_pallas_kernels(rng, monkeypatch):
     from concrete_ntt_tpu import native64
 
