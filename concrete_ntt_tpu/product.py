@@ -49,7 +49,6 @@ from .ops.u32 import (
     mul64_u32,
     mullo64,
     np_u64_to_limbs,
-    select64,
     shoup_mul,
     sub64,
     sub_mod,
