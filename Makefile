@@ -4,7 +4,13 @@
 PY ?= python
 
 .PHONY: test test-fast bench bench-full bench-headline scaling native clean \
-	baseline
+	baseline lint
+
+# static-analysis gate, warnings-as-errors (clippy -D warnings parity,
+# reference Makefile:51-63; this image has no ruff/mypy, so the gate is the
+# repo's AST linter — see tools/lint.py for the check list)
+lint:
+	$(PY) tools/lint.py
 
 # measured per-core AVX512 CPU baseline (the headline denominator's
 # provenance; see BASELINE.md)

@@ -121,15 +121,21 @@ def _prime_benches(ns, want=lambda bid: True):
             return step
 
         for p in ps32:
-            if not (want(f"fwd-32-{p}-{n}") or want(f"inv-32-{p}-{n}")):
+            if not (want(f"fwd-32-{p}-{n}") or want(f"inv-32-{p}-{n}")
+                    or want(f"fwd-32-{p}-{n}-b1")):
                 continue
             plan = prime32.Plan.try_new(n, p)
             if plan is None:
                 continue
             x = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
             x2 = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
-            yield f"fwd-32-{p}-{n}", two_el(plan.fwd), (x, x2)
-            yield f"inv-32-{p}-{n}", two_el(plan.inv), (x, x2)
+            yield f"fwd-32-{p}-{n}", two_el(plan.fwd), (x, x2), BATCH
+            yield f"inv-32-{p}-{n}", two_el(plan.inv), (x, x2), BATCH
+            if n == 16384 and p == ps32[0]:
+                # single-call latency row (the reference's own metric class,
+                # benches/ntt.rs:84-132 measures one poly per iteration)
+                yield (f"fwd-32-{p}-{n}-b1", two_el(plan.fwd),
+                       (x[:1], x2[:1]), 1)
         ps64 = [
             prime_in_ap(1 << 16, 1, 1 << 49, 1 << 50),
             prime_in_ap(1 << 16, 1, 1 << 50, 1 << 51),
@@ -139,7 +145,8 @@ def _prime_benches(ns, want=lambda bid: True):
             prime_in_ap(1 << 16, 1, 1 << 63, (1 << 64) - 1),
         ]
         for p in ps64:
-            if not (want(f"fwd-64-{p}-{n}") or want(f"inv-64-{p}-{n}")):
+            if not (want(f"fwd-64-{p}-{n}") or want(f"inv-64-{p}-{n}")
+                    or want(f"fwd-64-{p}-{n}-b1")):
                 continue
             plan = prime64.Plan.try_new(n, p)
             if plan is None:
@@ -148,8 +155,11 @@ def _prime_benches(ns, want=lambda bid: True):
 
             x = np_u64_to_limbs(rng.integers(0, p, (BATCH, n), dtype=np.uint64))
             x2 = np_u64_to_limbs(rng.integers(0, p, (BATCH, n), dtype=np.uint64))
-            yield f"fwd-64-{p}-{n}", two_el(plan.fwd), (x, x2)
-            yield f"inv-64-{p}-{n}", two_el(plan.inv), (x, x2)
+            yield f"fwd-64-{p}-{n}", two_el(plan.fwd), (x, x2), BATCH
+            yield f"inv-64-{p}-{n}", two_el(plan.inv), (x, x2), BATCH
+            if n == 16384 and p == prime64.Solinas:
+                yield (f"fwd-64-{p}-{n}-b1", two_el(plan.fwd),
+                       (x[:1], x2[:1]), 1)
 
 
 def _native_benches(ns, want=lambda bid: True):
@@ -176,7 +186,9 @@ def _native_benches(ns, want=lambda bid: True):
     for n in ns:
         for name, mod, width, binary in fams:
             for tier, cls in (("32", "Plan32"), ("52", "Plan52")):
-                if not want(f"{name}-{tier}-{n}"):
+                b1 = (name == "native64" and n == 16384)
+                if not (want(f"{name}-{tier}-{n}")
+                        or (b1 and want(f"{name}-{tier}-{n}-b1"))):
                     continue
                 plan_cls = getattr(mod, cls, None)
                 if plan_cls is None:
@@ -233,7 +245,12 @@ def _native_benches(ns, want=lambda bid: True):
 
                 import jax
 
-                yield f"{name}-{tier}-{n}", step(), (lhs, rhs_raw)
+                yield f"{name}-{tier}-{n}", step(), (lhs, rhs_raw), BATCH
+                if b1:
+                    # single-poly latency: 8-row kernel tiles pad B=1 up, so
+                    # this quantifies the latency-sensitive floor explicitly
+                    yield (f"{name}-{tier}-{n}-b1", step(),
+                           (lhs[:1], rhs_raw[:1]), 1)
 
 
 def _product_benches(ns, want=lambda bid: True):
@@ -250,7 +267,8 @@ def _product_benches(ns, want=lambda bid: True):
     f1, f2 = PRIMES32[0], PRIMES32[1]
     m = f1 * f2
     for n in ns:
-        if not (want(f"product-2xu32-{n}") or want(f"product-2xu32-acc-{n}")):
+        if not (want(f"product-2xu32-{n}") or want(f"product-2xu32-acc-{n}")
+                or want(f"product-2xu32-bounded-{n}")):
             continue
         plan = product.Plan.try_new(n, m, (f1, f2))
         if plan is None:
@@ -259,6 +277,12 @@ def _product_benches(ns, want=lambda bid: True):
             rng.integers(0, m, (BATCH, n), dtype=np.uint64)
         )
         a, b, c = mk(), mk(), mk()
+        bound = 1 << 20
+        signed = rng.integers(-(bound // 2), bound // 2, (BATCH, n))
+        ab = np_u64_to_limbs(
+            np.array([[int(v) % m for v in row] for row in signed],
+                     dtype=np.uint64)
+        )
 
         def step_rep(pl=plan):
             def fn(carry):
@@ -277,14 +301,31 @@ def _product_benches(ns, want=lambda bid: True):
 
             return fn
 
-        yield f"product-2xu32-{n}", step_rep(), (a, b)
-        yield f"product-2xu32-acc-{n}", step_acc(), (a, b, c)
+        def step_bnd(pl=plan, bound=bound):
+            # the PBS accumulator operand is centered (product.rs:303-322);
+            # the output is full-range, so keep the bounded operand fixed in
+            # the carry and rotate it to defeat loop-invariant hoisting
+            import jax.numpy as jnp
+
+            def fn(carry):
+                x, y = carry
+                out = pl.negacyclic_polymul(
+                    x, y, lhs_fwd_mode=product.bounded(bound)
+                )
+                x2 = jnp.roll(x, 1, axis=1)
+                return (x2, out)
+
+            return fn
+
+        yield f"product-2xu32-{n}", step_rep(), (a, b), BATCH
+        yield f"product-2xu32-acc-{n}", step_acc(), (a, b, c), BATCH
+        yield f"product-2xu32-bounded-{n}", step_bnd(), (ab, b), BATCH
 
 
 _HBM_BYTES_PER_SEC = 1.2e12  # deliberately above v5e peak (~0.8 TB/s)
 
 
-def _roofline_floor_ns(args) -> float:
+def _roofline_floor_ns(args, batch=BATCH) -> float:
     """Optimistic per-poly lower bound from ideal HBM traffic: every chain
     step must at least read its operand leaves and write one output of the
     same order. A row measuring below this is physically impossible and is
@@ -296,7 +337,7 @@ def _roofline_floor_ns(args) -> float:
     # overestimates
     nbytes = sum(int(np.prod(l.shape)) * l.dtype.itemsize
                  for l in jax.tree_util.tree_leaves(args))
-    return (nbytes / BATCH) / _HBM_BYTES_PER_SEC * 1e9
+    return (nbytes / batch) / _HBM_BYTES_PER_SEC * 1e9
 
 
 def main():
@@ -331,24 +372,29 @@ def main():
             _prime_benches(ns, want), _native_benches(ns, want),
             _product_benches(ns, want)
         )
-        for bid, fn, x in all_benches:
+        for bid, fn, x, batch in all_benches:
             if not want(bid):
                 continue
             try:
                 t = _chain_time(fn, x)
-                floor_ns = _roofline_floor_ns(x)
-                suspect = t / BATCH * 1e9 < floor_ns
+                floor_ns = _roofline_floor_ns(x, batch)
+                suspect = t / batch * 1e9 < floor_ns
                 if suspect:  # impossible: below the HBM roofline — once more
                     t = _chain_time(fn, x)
-                    suspect = t / BATCH * 1e9 < floor_ns
+                    suspect = t / batch * 1e9 < floor_ns
             except Exception as exc:  # pragma: no cover - report and continue
-                print(json.dumps({"id": bid, "error": str(exc)[:200]}), flush=True)
+                err = {"id": bid, "error": str(exc)[:200]}
+                print(json.dumps(err), flush=True)
+                # error rows go to the results file too, so missing grid ids
+                # are auditable instead of silently vanishing
+                f.write(json.dumps(err) + "\n")
+                f.flush()
                 continue
             rec = {
                 "id": bid,
-                "batch": BATCH,
-                "ns_per_poly": round(t / BATCH * 1e9, 1),
-                "polys_per_sec": round(BATCH / t, 1),
+                "batch": batch,
+                "ns_per_poly": round(t / batch * 1e9, 1),
+                "polys_per_sec": round(batch / t, 1),
                 "type": "latency",  # parity: ci/benchmark_parser.py:151
             }
             if suspect:

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .u32 import shoup_mul_lazy
+from .u32 import add_mod, mont_mul, mont_neginv, shoup_mul_lazy
 
 _MIN_P = 1 << 26  # below this the cond-sub reduction chains get long; use VPU path
 
@@ -181,11 +181,18 @@ def _col_matrix_inv(n, n1, n2, inv_twid, p):
 # ---------------------------------------------------------------------------
 
 
-def _balanced_digits(v: np.ndarray) -> np.ndarray:
-    """[4, ...] balanced radix-256 digits of centered int64 values (|v|<2^31)."""
-    digits = np.zeros((4,) + v.shape, dtype=np.int64)
+def _n_dplanes32(p: int) -> int:
+    """Matrix digit planes: centered entries |v| <= p/2 need 4 balanced
+    radix-256 digits while p/2 <= 127*(256^4-1)/255, else 5 (primes near
+    2^32, e.g. the reference's generic-regime bench prime 4293918721)."""
+    return 4 if p // 2 <= 127 * ((1 << 32) - 1) // 255 else 5
+
+
+def _balanced_digits(v: np.ndarray, n_d: int = 4) -> np.ndarray:
+    """[n_d, ...] balanced radix-256 digits of centered int64 values."""
+    digits = np.zeros((n_d,) + v.shape, dtype=np.int64)
     rem = v.astype(np.int64).copy()
-    for dd in range(4):
+    for dd in range(n_d):
         r = ((rem + 128) & 255) - 128
         digits[dd] = r
         rem = (rem - r) >> 8
@@ -193,11 +200,11 @@ def _balanced_digits(v: np.ndarray) -> np.ndarray:
     return digits
 
 
-def _prep_matrix(M: np.ndarray, p: int, n_eplanes: int = 4):
+def _prep_matrix(M: np.ndarray, p: int, n_eplanes: int = 4, n_d: int = 4):
     """Pack M[K, O] (mod p) into fused int8 planes + epilogue constants.
 
-    Returns (planes [E*K, 4d*O] int8 — ONE fused matmul computes all four
-    matrix-digit accumulators S_d as O-wide column blocks —, cvec [4, O]
+    Returns (planes [E*K, D*O] int8 — ONE fused matmul computes all D
+    matrix-digit accumulators S_d as O-wide column blocks —, cvec [D, O]
     int32 additive constants incl. the sign offsets).
 
     E = n_eplanes is the number of radix-2^8 digit planes of the OPERAND:
@@ -208,16 +215,16 @@ def _prep_matrix(M: np.ndarray, p: int, n_eplanes: int = 4):
     """
     K, O = M.shape
     Ms = [(M.astype(object) * (1 << (8 * ee))) % p for ee in range(n_eplanes)]
-    # centered representative -> |entries| <= p/2 < 2^30, 4 balanced digits
-    planes = np.zeros((n_eplanes * K, 4 * O), dtype=np.int8)
-    csum = np.zeros((4, O), dtype=np.int64)
+    # centered representative -> |entries| <= p/2, n_d balanced digits
+    planes = np.zeros((n_eplanes * K, n_d * O), dtype=np.int8)
+    csum = np.zeros((n_d, O), dtype=np.int64)
     for ee in range(n_eplanes):
         Mc = np.array(
             [[int(v) - p if int(v) > p // 2 else int(v) for v in row] for row in Ms[ee]],
             dtype=np.int64,
         )
-        dig = _balanced_digits(Mc)  # [4, K, O]
-        for dd in range(4):
+        dig = _balanced_digits(Mc, n_d)  # [n_d, K, O]
+        for dd in range(n_d):
             planes[ee * K : (ee + 1) * K, dd * O : (dd + 1) * O] = dig[dd].astype(
                 np.int8
             )
@@ -298,9 +305,10 @@ def _prep(M: np.ndarray, p: int, n_eplanes: int = 4):
     """Digit-plane packing: native C++ when available, Python otherwise."""
     from .. import _native
 
-    out = _native.prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
+    n_d = _n_dplanes32(p)
+    out = _native.prep_matrix(np.ascontiguousarray(M), p, n_eplanes, n_d)
     if out is None:
-        out = _prep_matrix(np.ascontiguousarray(M), p, n_eplanes)
+        out = _prep_matrix(np.ascontiguousarray(M), p, n_eplanes, n_d)
     assert_accumulator_exact(*out)
     return out
 
@@ -319,7 +327,7 @@ def _mxu_tables(n: int, p: int):
 
     c32 = (1 << 32) % p
     c32_shoup = (c32 << 32) // p
-    off = sum((1 << 27) << (8 * dd) for dd in range(4)) % p
+    off = sum((1 << 27) << (8 * dd) for dd in range(_n_dplanes32(p))) % p
 
     tables = {
         "n1": n1,
@@ -329,6 +337,13 @@ def _mxu_tables(n: int, p: int):
         "off_mod_p": np.uint32(off),
         "chain": _reduce_chain(p),
         "lazy4": 4 * p < (1 << 32),  # a+b of two [0,2p) values fits u32
+        # p >= 2^31: Shoup's [0, 2p) lazy bound overflows u32, so the
+        # epilogues switch to Montgomery multiplies (canonical outputs) —
+        # the tier covering the reference's fully-generic prime32 engine
+        # (prime32/generic.rs:59-226, Lemire lanes there).
+        "mont_regime": p >= (1 << 31),
+        "p_neginv": mont_neginv(p),
+        "c64_mont": np.uint32((1 << 64) % p),  # mont_mul(hi, ·) = hi*2^32 mod p
     }
     # _matmod computes x @ planes (contraction over the input index), while the
     # operators are defined as out[r] = sum_i M[r, i] x[i] — store M transposed.
@@ -338,16 +353,21 @@ def _mxu_tables(n: int, p: int):
 
     def scale_tabs(W):
         """Tables for the fused lazy scale-by-W epilogue: result represents
-        (V - OFF)*W mod p given limbs (lo, hi) of V: lo*W + hi*(2^32 W) + (p - OFF*W)."""
+        (V - OFF)*W mod p given limbs (lo, hi) of V: lo*W + hi*(2^32 W) + (p - OFF*W).
+        Shoup pairs for p < 2^31; Montgomery'd multiplicands (W*2^32 mod p,
+        W*2^64 mod p) for the generic p >= 2^31 regime."""
         W = W.astype(object)
         W32 = (W << 32) % p
         pad = (p - (off * W) % p) % p
+        u32a = lambda a: a.astype(np.uint64).astype(np.uint32)
+        if p >= (1 << 31):
+            return (u32a(W32), u32a((W << 64) % p), u32a(pad))
         return (
-            W.astype(np.uint64).astype(np.uint32),
+            u32a(W),
             shoup(W.astype(np.uint64)),
-            W32.astype(np.uint64).astype(np.uint32),
+            u32a(W32),
             shoup(W32.astype(np.uint64)),
-            pad.astype(np.uint64).astype(np.uint32),
+            u32a(pad),
         )
 
     tables["d"] = scale_tabs(d.T)  # fwd mid-pass layout [n2, n1]
@@ -392,14 +412,17 @@ def _dot_planes(x, mat):
 
 
 def _combine(big, mat):
-    """int32 accumulators [..., 4O] -> (lo, hi) u32 limbs of
-    V = (x @ M mod p) + OFF (exact)."""
+    """int32 accumulators [..., D*O] -> (lo, hi) u32 limbs of
+    V = (x @ M mod p) + OFF (exact). D = 4 matrix digit planes for most
+    primes; a 5th (sitting exactly at bit 32 → added into hi) for primes
+    near 2^32 (_n_dplanes32)."""
     cvec = jnp.asarray(mat[1])
-    o = mat[0].shape[1] // 4
+    n_d = mat[1].shape[0]
+    o = mat[0].shape[1] // n_d
     bshape = (1,) * (big.ndim - 1) + (-1,)
     u = [
         (big[..., dd * o : (dd + 1) * o] + cvec[dd].reshape(bshape)).astype(jnp.uint32)
-        for dd in range(4)
+        for dd in range(n_d)
     ]
     t1 = u[1] << np.uint32(8)
     t2 = u[2] << np.uint32(16)
@@ -412,6 +435,8 @@ def _combine(big, mat):
     c3 = (lo < t3).astype(jnp.uint32)
     hi = (u[1] >> np.uint32(24)) + (u[2] >> np.uint32(16)) + (u[3] >> np.uint32(8))
     hi = hi + c1 + c2 + c3
+    if n_d == 5:
+        hi = hi + u[4]  # digit 4 sits at bit 32 exactly; hi < 2^29
     return lo, hi
 
 
@@ -424,11 +449,16 @@ def _limbs(x, mat, tbl):
 
 def _epilogue_canonical(lo, hi, tbl, *, p: int):
     """(lo, hi) limbs of V = true + OFF -> canonical true mod p in [0, p)."""
-    r = shoup_mul_lazy(hi, tbl["c32"], tbl["c32_shoup"], p)  # [0, 2p)
-    r = jnp.where(r >= np.uint32(p), r - np.uint32(p), r)
+    if tbl["mont_regime"]:
+        # hi*(2^64 mod p)*2^-32 = hi*2^32 mod p, canonical for any odd p
+        r = mont_mul(hi, tbl["c64_mont"], p, tbl["p_neginv"])
+    else:
+        r = shoup_mul_lazy(hi, tbl["c32"], tbl["c32_shoup"], p)  # [0, 2p)
+        r = jnp.where(r >= np.uint32(p), r - np.uint32(p), r)
     lo = _reduce_u32(lo, tbl["chain"])
-    s = r + lo
-    s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
+    s = add_mod(r, lo, p) if tbl["mont_regime"] else r + lo
+    if not tbl["mont_regime"]:
+        s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
     # undo the 2^27 sign offsets
     s = jnp.where(
         s >= tbl["off_mod_p"], s - tbl["off_mod_p"], s + np.uint32(p) - tbl["off_mod_p"]
@@ -438,7 +468,15 @@ def _epilogue_canonical(lo, hi, tbl, *, p: int):
 
 def _epilogue_scaled_lazy(lo, hi, scale, tbl, *, p: int):
     """(lo, hi) limbs of V = true + OFF -> true*W mod p as ANY u32
-    representative: lo*W + hi*(2^32 W) - OFF*W via two Shoup multiplies."""
+    representative: lo*W + hi*(2^32 W) - OFF*W via two Shoup multiplies
+    (p < 2^31) or two Montgomery multiplies (generic p >= 2^31, where the
+    Shoup [0, 2p) bound overflows u32; outputs canonical instead of lazy)."""
+    if tbl["mont_regime"]:
+        w32m, w64m, pad = (jnp.asarray(x)[None] for x in scale)
+        ninv = tbl["p_neginv"]
+        a = mont_mul(lo, w32m, p, ninv)  # lo*W mod p, canonical
+        b = mont_mul(hi, w64m, p, ninv)  # hi*2^32*W mod p, canonical
+        return add_mod(add_mod(a, b, p), pad, p)
     w, w_sh, w32, w32_sh, pad = (jnp.asarray(x)[None] for x in scale)
     a = shoup_mul_lazy(lo, w, w_sh, p)  # [0, 2p)
     b = shoup_mul_lazy(hi, w32, w32_sh, p)  # [0, 2p)
@@ -534,12 +572,16 @@ def inv(x, *, n: int, p: int, scale: int = 1):
 
 
 def applicable(n: int, p: int, variant: str) -> bool:
-    """lt30/lt31 primes, n in [2048, 2^17]. Upper bound: the int8 matmul
-    accumulators stay provably exact only while the contraction extent
-    E*K <= 4096 (assert_accumulator_exact); the widest supported operand
-    (u128, E=16) contracts 16*n1 in the column pass and 4*n2 in the row
-    pass, so n1 <= 256 and n2 <= 1024 -> n <= 2^17."""
-    if variant not in ("lt30", "lt31") or p < _MIN_P:
+    """All prime32 regimes (lt30/lt31 via Shoup epilogues; generic p >= 2^31
+    via Montgomery epilogues — the reference SIMD-accelerates its generic
+    engine too, prime32/generic.rs:59-226), n in [2048, 2^17]. Upper bound:
+    the int8 matmul accumulators stay provably exact only while the
+    contraction extent E*K <= 4096 (assert_accumulator_exact); the widest
+    supported operand (u128, E=16) contracts 16*n1 in the column pass and
+    4*n2 in the row pass, so n1 <= 256 and n2 <= 1024 -> n <= 2^17."""
+    if variant not in ("lt30", "lt31", "generic") or p < _MIN_P:
+        return False
+    if p % 2 == 0:  # Montgomery epilogues need odd p (p = 2 is the only even prime)
         return False
     if n < 2048 or (n & (n - 1)) != 0:
         return False

@@ -280,7 +280,11 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
 
 @lru_cache(maxsize=64)
 def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
-                      scales: tuple, pointwise: bool, interp: bool = False):
+                      scales: tuple, pointwise: bool, interp: bool = False,
+                      perch_in: bool = False):
+    """perch_in=True (fwd only, n_limbs=1): the operand is [C, B, n] with a
+    DIFFERENT u32 residue array per channel (e.g. the Bounded centered
+    representation, product.rs:303-322) instead of one shared limb array."""
     tabs = _multi_tables(n, primes, n_limbs, scales)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
@@ -303,7 +307,10 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
 
         if direction == "fwd":
             v = tuple(
-                jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
+                jnp.swapaxes(
+                    (r[0] if perch_in else r[:]).reshape(_B_TILE, n1, n2), 1, 2
+                )
+                for r in x_refs
             )
             xd = jnp.concatenate(
                 [_digit8(limb) for limb in v], axis=-1
@@ -348,7 +355,12 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                 for _ in range(5)
             ],
         ]
-        if direction == "fwd":
+        if direction == "fwd" and perch_in:
+            in_specs = [
+                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
+                for _ in range(n_in)
+            ]
+        elif direction == "fwd":
             in_specs = [
                 pl.BlockSpec((_B_TILE, n), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
                 for _ in range(n_in)
@@ -436,6 +448,24 @@ def fwd_wide_multi(limbs: tuple, primes: tuple):
         interpret_mode(),
     )
     out = call(*limbs)
+    return out[:, :b] if pad else out
+
+
+def fwd_multi_perchannel(x, primes: tuple):
+    """All CRT channels' forward NTTs in one kernel with a DIFFERENT residue
+    array per channel: x [C, B, n] (any u32 representatives) -> [C, B, n]
+    canonical NTT-domain residues. Used by the Bounded product fwd, whose
+    centered residues differ per channel (product.rs:303-322)."""
+    n = x.shape[-1]
+    b = x.shape[-2]
+    pad = (-b) % _B_TILE
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    call = _build_multi_call(
+        n, tuple(primes), 1, "fwd", (1,) * len(primes), False,
+        interpret_mode(), True,
+    )
+    out = call(x)
     return out[:, :b] if pad else out
 
 
@@ -538,7 +568,7 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
     def call(*args):
         xs, diag_slices = args[:n_limbs], args[n_limbs:]
         bsz = xs[0].shape[0]
-        o = planes.shape[1] // 4
+        o = planes.shape[1] // cvec.shape[0]  # D matrix digit planes
         return pl.pallas_call(
             kernel,
             grid=(bsz // _B_TILE,),

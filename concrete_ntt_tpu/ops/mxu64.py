@@ -40,12 +40,14 @@ from .u32 import (
     add64c,
     cond_sub64,
     const64_like,
+    gl_mul_lazy,
     mont_mul64,
     mont_neginv64,
     mulhi64,
     mullo64,
     select64,
     shoup_mul_lazy64,
+    shoup_mul_u32_lazy64,
     sub64,
     sub64b,
 )
@@ -220,11 +222,30 @@ def _prep64(M: np.ndarray, p: int, n_eplanes: int = 8):
     return out
 
 
-def _mont_tables(W: np.ndarray, p: int):
-    """(W*2^64 mod p, OFF8*W mod p) as little-endian u32 limb-pair arrays —
-    the Montgomery'd diagonal and the sign-offset correction."""
-    Wt = (W.astype(object) << 64) % p
-    K = (W.astype(object) * (_off(_n_dplanes(p)) % p)) % p
+def _scale_mode(p: int) -> str:
+    """Static regime of the fused scaled epilogue:
+      * "shoup" (2^33 < p < 2^62) — (v0,v1)·W + v2·(2^64·W) + (−OFF·W) as
+        two lazy Shoup multiplies (the designed fold3to2+scale fusion; the
+        [0,2p) lazy bounds need 4p < 2^64);
+      * "gl" (Goldilocks) — cheap shift/add 3→2 fold, then one gl_mul_lazy
+        (4 wide multiplies; Shoup laziness is unrepresentable at 2p > 2^64);
+      * "mont" (2^62 ≤ p < 2^64, other) — 3→2 fold + Montgomery multiply
+        against the pre-Montgomery'd diagonal (the conservative fallback)."""
+    if p == GOLDILOCKS:
+        return "gl"
+    return "shoup" if p < (1 << 62) else "mont"
+
+
+def _scale_tables64(W: np.ndarray, p: int):
+    """Per-element device tables for the fused scaled epilogue, as
+    little-endian u32 limb-pair arrays. Layout depends on _scale_mode:
+      shoup: (W, ⌊W·2^64/p⌋, W2=2^64·W mod p, ⌊W2·2^64/p⌋, Kc=(−OFF·W) mod p)
+             → 10 u32 arrays;
+      gl:    (W, K=OFF·W mod p) → 4 arrays;
+      mont:  (Wt=W·2^64 mod p, K) → 4 arrays (the original layout)."""
+    off = _off(_n_dplanes(p)) % p
+    Wo = W.astype(object)
+    K = (Wo * off) % p
 
     def split(a):
         a = a.astype(object)
@@ -233,7 +254,16 @@ def _mont_tables(W: np.ndarray, p: int):
             (a >> 32).astype(np.uint64).astype(np.uint32),
         )
 
-    return split(Wt) + split(K)
+    mode = _scale_mode(p)
+    if mode == "shoup":
+        W2 = (Wo << 64) % p
+        Wsh = (Wo << 64) // p
+        W2sh = (W2 << 64) // p
+        Kc = (p - K) % p
+        return split(Wo) + split(Wsh) + split(W2) + split(W2sh) + split(Kc)
+    if mode == "gl":
+        return split(Wo) + split(K)
+    return split((Wo << 64) % p) + split(K)
 
 
 @lru_cache(maxsize=32)
@@ -253,12 +283,13 @@ def _tables(n: int, p: int):
         "p_neginv": mont_neginv64(p),
         "n_d": _n_dplanes(p),
         "off_mod_p": _off(_n_dplanes(p)) % p,
+        "scale_mode": _scale_mode(p),
         "A": _prep64(ops["A"].T, p, 8),
         "F": _prep64(ops["F"].T, p, 8),
         "Ainv": _prep64(ops["Ainv"].T, p, 8),
         "G": _prep64(ops["G"].T, p, 8),
-        "d": _mont_tables(ops["d"].T, p),  # fwd mid layout [n2, n1]
-        "e": _mont_tables(ops["e"], p),  # inv mid layout [n1, n2]
+        "d": _scale_tables64(ops["d"].T, p),  # fwd mid layout [n2, n1]
+        "e": _scale_tables64(ops["e"], p),  # inv mid layout [n1, n2]
     }
     tbl["barrett"] = (1 << 64) // p  # floor(2^64/p); quotient error <= 2
     if p >= (1 << 63):
@@ -343,12 +374,12 @@ def _fold3to2(v0, v1, v2, tbl):
         s = add64(s, comp)
         return s
     if p < (1 << 63):
-        t = shoup_mul_lazy64(
-            (v2, jnp.zeros_like(v2)),
+        t = shoup_mul_u32_lazy64(
+            v2,
             const64_like(tbl["c64"]),
             const64_like(tbl["c64_shoup"]),
             p,
-        )  # [0, 2p)
+        )  # [0, 2p); v2 < 2^32 → 2-wide-multiply quotient
     else:
         # p >= 2^63 (non-Goldilocks): Shoup's 2p bound exceeds 2^64; use a
         # Montgomery multiply of the top limb by 2^64*2^64 mod p instead.
@@ -374,16 +405,42 @@ def _fold3to2(v0, v1, v2, tbl):
 
 
 def _scale_mont(rep, mont_tab, tbl):
-    """(rep - OFF8) * W mod p as a lazy 64-bit representative.
-
-    mont_tab = (Wt_lo, Wt_hi, K_lo, K_hi) with Wt = W*2^64 mod p (so the
-    Montgomery factor cancels) and K = OFF8*W mod p (sign-offset fold)."""
-    wt_lo, wt_hi, k_lo, k_hi = (jnp.asarray(a)[None] for a in mont_tab)
-    y = mont_mul64(rep, (wt_lo, wt_hi), tbl["p"], tbl["p_neginv"])
+    """(rep - OFF8) * W mod p as a lazy 64-bit representative ("mont"/"gl"
+    scale modes). mont_tab = (X_lo, X_hi, K_lo, K_hi) with K = OFF8*W mod p
+    (sign-offset fold) and X = W*2^64 mod p (mont: the Montgomery factor
+    cancels) or X = W itself (gl: gl_mul_lazy needs no factor)."""
+    x_lo, x_hi, k_lo, k_hi = (jnp.asarray(a) for a in mont_tab)
+    if tbl["goldilocks"]:
+        y = gl_mul_lazy(rep, (x_lo, x_hi))
+    else:
+        y = mont_mul64(rep, (x_lo, x_hi), tbl["p"], tbl["p_neginv"])
     diff, borrow = sub64b(y, (k_lo, k_hi))
     c64 = const64_like(tbl["c64"])
     corr = (borrow.astype(jnp.uint32) * c64[0], borrow.astype(jnp.uint32) * c64[1])
     return sub64(diff, corr)  # wrapped diff > 2^63 >> c64: no re-borrow
+
+
+def _scaled_epilogue(v0, v1, v2, tab, tbl):
+    """3-limb combine output -> (V - OFF8)·W mod p as a lazy limb pair.
+
+    "shoup" mode is the fused fold+scale epilogue: with V = v0 + v1·2^32 +
+    v2·2^64, the result is (v0,v1)·W + v2·(2^64·W mod p) + (−OFF8·W mod p)
+    — two lazy Shoup multiplies (the v2 one u32-specialized) replacing the
+    previous top-limb fold *plus* Montgomery scale (measured VPU-epilogue-
+    bound at ~27% MXU utilization before this fusion). Bounds (p < 2^62):
+    t1, t2 ∈ [0, 2p) → t1+t2 < 4p < 2^64 exact; +Kc < 5p tracks its single
+    possible wrap with one +2^64-mod-p correction (< 2^62 + p < 2^64)."""
+    tab = tuple(jnp.asarray(a) for a in tab)
+    if tbl["scale_mode"] == "shoup":
+        p = tbl["p"]
+        t1 = shoup_mul_lazy64((v0, v1), (tab[0], tab[1]), (tab[2], tab[3]), p)
+        t2 = shoup_mul_u32_lazy64(v2, (tab[4], tab[5]), (tab[6], tab[7]), p)
+        s = add64(t1, t2)  # < 4p < 2^64
+        s, carry = add64c(s, (tab[8], tab[9]))
+        c64 = const64_like(tbl["c64"])
+        return add64(s, (carry * c64[0], carry * c64[1]))
+    rep = _fold3to2(v0, v1, v2, tbl)
+    return _scale_mont(rep, tab, tbl)
 
 
 def _canonical(v0, v1, v2, tbl):
@@ -406,13 +463,12 @@ def _canonical(v0, v1, v2, tbl):
     return select64(borrow, add64(d, const64_like(p)), d)
 
 
-def _matmod_scaled_lazy(limbs, mat, mont_tab, tbl):
+def _matmod_scaled_lazy(limbs, mat, scale_tab, tbl):
     planes, cvec = (jnp.asarray(a) for a in mat)
     o = mat[0].shape[1] // tbl["n_d"]
     big = _dot(_digit_cat(limbs), planes)
     v0, v1, v2 = _combine8(big, cvec, o, tbl["n_d"])
-    rep = _fold3to2(v0, v1, v2, tbl)
-    return _scale_mont(rep, mont_tab, tbl)
+    return _scaled_epilogue(v0, v1, v2, scale_tab, tbl)
 
 
 def _matmod_canonical(limbs, mat, tbl):

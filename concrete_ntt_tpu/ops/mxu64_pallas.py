@@ -49,11 +49,12 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
 
     planes1, cvec1 = mat1
     planes2, cvec2 = mat2
+    n_diag = len(diag)
 
     def kernel(*refs):
         p1_ref, c1_ref, p2_ref, c2_ref = refs[:4]
-        diag_refs = refs[4:8]
-        x_refs = refs[8 : 8 + n_limbs]
+        diag_refs = refs[4 : 4 + n_diag]
+        x_refs = refs[4 + n_diag : 4 + n_diag + n_limbs]
         out_lo_ref, out_hi_ref = refs[-2], refs[-1]
 
         m1 = (p1_ref[:], c1_ref[:])
@@ -84,7 +85,7 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
         pl.BlockSpec(cvec2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         *[
             pl.BlockSpec(diag[0].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
+            for _ in range(n_diag)
         ],
     ]
     consts = (planes1, cvec1, planes2, cvec2, *diag)
@@ -170,7 +171,7 @@ def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
                        n_limbs: int, scale: int, f: int, interp: bool):
     tbl = mxu64._tables(n, p)
     planes, cvec = _fused_pass_mat64(n, p, which, n_limbs, scale, f)
-    n_mont = 4 if scaled else 0
+    n_mont = len(tbl["d"]) if scaled else 0
     k_lane = planes.shape[0] // (4 * n_limbs)
     o = planes.shape[1] // tbl["n_d"]
 
@@ -183,11 +184,9 @@ def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
         big = mxu64._dot(mxu64._digit_cat(v), p_ref[:])
         trip = mxu64._combine8(big, jnp.asarray(c_ref[:]), o, tbl["n_d"])
         if scaled:
-            rep = mxu64._fold3to2(*trip, tbl)
-            wt = (mont_refs[0][:], mont_refs[1][:])
-            kk = (mont_refs[2][:], mont_refs[3][:])
-            y = mxu64._scale_mont(rep, (wt[0], wt[1], kk[0], kk[1]), tbl)
-            lo, hi = y
+            lo, hi = mxu64._scaled_epilogue(
+                *trip, tuple(r[:] for r in mont_refs), tbl
+            )
         else:
             lo, hi = mxu64._canonical(*trip, tbl)
         out_lo_ref[:] = lo
@@ -371,20 +370,28 @@ def _sc_mont_mul64(a, b, p, ninv):
 
 def _sc_fold3to2(v0, v1, v2, sc):
     """3-limb V -> 64-bit representative; p < 2^62 regime (3p < 2^64)."""
+    from .u32 import shoup_mul_u32_lazy64
+
     c64, c64sh, p = sc["c64"], sc["c64_shoup"], sc["p"]
-    t = _sc_shoup_lazy64((v2, jnp.zeros_like(v2)), c64, c64sh, p)  # [0, 2p)
+    t = shoup_mul_u32_lazy64(v2, c64, c64sh, p)  # [0, 2p); u32-specialized
     s, carry = add64c((v0, v1), t)
     comp = (carry * c64[0], carry * c64[1])
     return add64(s, comp)  # wrapped s < 2p, + c64 < 3p < 2^64
 
 
-def _sc_scale_mont(rep, wt, kk, sc):
-    """(rep - OFF8) * W mod p as a lazy limb pair (mxu64._scale_mont)."""
-    y = _sc_mont_mul64(rep, wt, sc["p"], sc["p_neginv"])
-    diff, borrow = sub64b(y, kk)
+def _sc_scaled_epilogue(v0, v1, v2, tab, sc):
+    """Traced-scalar twin of mxu64._scaled_epilogue ("shoup" mode only —
+    multi_applicable restricts the channel-grid kernels to p < 2^62):
+    (v0,v1)·W + v2·(2^64·W) + (−OFF8·W), two lazy Shoup multiplies."""
+    from .u32 import shoup_mul_u32_lazy64
+
+    p = sc["p"]
+    t1 = _sc_shoup_lazy64((v0, v1), (tab[0], tab[1]), (tab[2], tab[3]), p)
+    t2 = shoup_mul_u32_lazy64(v2, (tab[4], tab[5]), (tab[6], tab[7]), p)
+    s = add64(t1, t2)  # < 4p < 2^64
+    s, carry = add64c(s, (tab[8], tab[9]))
     c64 = sc["c64"]
-    b32 = borrow.astype(jnp.uint32)
-    return sub64(diff, (b32 * c64[0], b32 * c64[1]))
+    return add64(s, (carry * c64[0], carry * c64[1]))
 
 
 def _sc_canonical(v0, v1, v2, sc):
@@ -445,12 +452,13 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple):
         p2i.append(m2[0]); c2i.append(m2[1])
         dm.append(tbl["d"]); em.append(tbl["e"])
         scal.append(_scal_vec64(n, p) + [0, 0])  # pad to 16
+    n_tab = len(dm[0])  # 10 ("shoup" scale mode — guaranteed by p < 2^62)
     return {
         "n1": n1, "n2": n2,
         "fwd": (stk(p1f), stk(c1f), stk(p2f), stk(c2f),
-                tuple(stk([d[j] for d in dm]) for j in range(4))),
+                tuple(stk([d[j] for d in dm]) for j in range(n_tab))),
         "inv": (stk(p1i), stk(c1i), stk(p2i), stk(c2i),
-                tuple(stk([e[j] for e in em]) for j in range(4))),
+                tuple(stk([e[j] for e in em]) for j in range(n_tab))),
         "scalars": np.array(scal, dtype=np.uint32),  # [C, 16]
     }
 
@@ -462,29 +470,27 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
     planes1, cvec1, planes2, cvec2, mont = tabs[direction]
+    n_mont = len(mont)
     n_in = (4 if pointwise else 2) if direction == "inv" else 2
 
     def kernel(*refs):
         sc_ref = refs[0]
         p1_ref, c1_ref, p2_ref, c2_ref = refs[1:5]
-        mont_refs = refs[5:9]
-        x_refs = refs[9 : 9 + n_in]
+        mont_refs = refs[5 : 5 + n_mont]
+        x_refs = refs[5 + n_mont : 5 + n_mont + n_in]
         out_lo_ref, out_hi_ref = refs[-2], refs[-1]
 
         sc = _read_sc(sc_ref)
         m1, cv1 = p1_ref[0], c1_ref[0]
         m2, cv2 = p2_ref[0], c2_ref[0]
-        wt = (mont_refs[0][0], mont_refs[1][0])
-        kk = (mont_refs[2][0], mont_refs[3][0])
+        tab = tuple(r[0] for r in mont_refs)
 
         if direction == "fwd":
             v = tuple(
                 jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
             )
             big = mxu64._dot(mxu64._digit_cat(v), m1)
-            y = _sc_scale_mont(
-                _sc_fold3to2(*mxu64._combine8(big, cv1, n1, 8), sc), wt, kk, sc
-            )
+            y = _sc_scaled_epilogue(*mxu64._combine8(big, cv1, n1, 8), tab, sc)
             y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n1, n2]
             big = mxu64._dot(mxu64._digit_cat(y), m2)
             lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n2, 8), sc)
@@ -498,9 +504,7 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             else:
                 v = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs)
             big = mxu64._dot(mxu64._digit_cat(v), m1)
-            y = _sc_scale_mont(
-                _sc_fold3to2(*mxu64._combine8(big, cv1, n2, 8), sc), wt, kk, sc
-            )
+            y = _sc_scaled_epilogue(*mxu64._combine8(big, cv1, n2, 8), tab, sc)
             y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n2, n1]
             big = mxu64._dot(mxu64._digit_cat(y), m2)
             lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n1, 8), sc)
@@ -525,7 +529,7 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             *[
                 pl.BlockSpec((1,) + m_shape, lambda i, c: (c, 0, 0),
                              memory_space=pltpu.VMEM)
-                for _ in range(4)
+                for _ in range(n_mont)
             ],
         ]
         if direction == "fwd":

@@ -101,6 +101,23 @@ def try_fwd32_wide_all(parts, plans):
     return [eng.fwd_wide(parts, n=n, p=pl.p) for pl in plans]
 
 
+def try_fwd32_perchannel_all(stacked, plans):
+    """Forward NTTs for all prime32 channels with per-channel residue
+    arrays ([k, B, n], any u32 representatives) in one channel-grid kernel.
+    Serves the Bounded product fwd (centered residues differ per channel).
+    Returns a list of NTT-domain residues, or None when inapplicable."""
+    n = stacked.shape[-1]
+    if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
+        return None
+    eng = _mxu_impl(n)
+    if hasattr(eng, "fwd_multi_perchannel") and all(
+        (1 << 29) < pl.p < (1 << 30) for pl in plans
+    ):
+        out = eng.fwd_multi_perchannel(stacked, tuple(pl.p for pl in plans))
+        return [out[i] for i in range(len(plans))]
+    return [eng.fwd(stacked[i], n=n, p=pl.p) for i, pl in enumerate(plans)]
+
+
 def try_pointwise_inv32_all(fl, fr, plans):
     """Fused pointwise-multiply + normalize + inverse NTT for a CRT plan's
     prime32 channels on the MXU engine.

@@ -328,6 +328,26 @@ def shoup_mul_lazy64(z, w, w_shoup, p: int):
     return sub64(mullo64(z, w), mullo64(q, const64_like(p)))
 
 
+def shoup_mul_u32_lazy64(z32, w, w_shoup, p):
+    """t ≡ z·w (mod p), t in [0, 2p), for a *u32* operand z against a u64
+    constant w < p < 2^63 with companion w_shoup = ⌊w·2^64/p⌋ (limb pairs;
+    arrays, np scalars, or traced SMEM scalars).
+
+    Specialization of shoup_mul_lazy64 exploiting z < 2^32: the quotient
+    q = ⌊z·w_shoup/2^64⌋ < z·w/p + 1 ≤ 2^32 fits a single u32, so computing
+    it needs only the top limb of the 96-bit product z·w_shoup — 2 wide
+    multiplies instead of the 4 of a full mulhi64. Used for the top-limb
+    folds of the 3-limb MXU combine (ops/mxu64)."""
+    w_lo, w_hi = w
+    wsh_lo, wsh_hi = w_shoup
+    p_pair = const64_like(p) if isinstance(p, int) else p
+    # q = bits [64, 96) of z·w_shoup = hi(z·wsh_hi) + carry(lo(z·wsh_hi) + hi(z·wsh_lo))
+    lo1, hi1 = mulwide_u32(z32, wsh_hi)
+    t = lo1 + mulhi_u32(z32, wsh_lo)
+    q = hi1 + (t < lo1).astype(jnp.uint32)
+    return sub64(mul64_u32((w_lo, w_hi), z32), mul64_u32(p_pair, q))
+
+
 # ---------------------------------------------------------------------------
 # Generic N-limb arithmetic (u128 and mixed-width products; wrapping)
 # ---------------------------------------------------------------------------
@@ -432,8 +452,9 @@ GOLDILOCKS_P = (1 << 64) - (1 << 32) + 1
 _PHI_M1 = np.uint32(0xFFFFFFFF)  # φ - 1 low limb
 
 
-def gl_reduce128(l0, l1, l2, l3):
-    """Reduce 4-limb value mod Goldilocks to canonical [0, p)."""
+def gl_reduce128_lazy(l0, l1, l2, l3):
+    """Reduce 4-limb value mod Goldilocks to a u64 representative (< 2^64,
+    possibly ≥ p — one cond_sub64 away from canonical)."""
     lo64 = (l0, l1)
     # t0 = lo64 - l3  (mod p): on borrow the wrapped value is ≡ +.(φ-1) high,
     # subtract φ-1 to compensate for the -2^64.
@@ -442,8 +463,19 @@ def gl_reduce128(l0, l1, l2, l3):
     # t1 = l2·(φ-1) = (l2 << 32) - l2, exact in 64 bits.
     t1 = sub64((np.uint32(0), l2), (l2, np.uint32(0)))
     t2, c2 = add64c(t0, t1)
-    t2 = select64(c2.astype(bool), add64(t2, (_PHI_M1, np.uint32(0))), t2)
-    return cond_sub64(t2, GOLDILOCKS_P)
+    return select64(c2.astype(bool), add64(t2, (_PHI_M1, np.uint32(0))), t2)
+
+
+def gl_reduce128(l0, l1, l2, l3):
+    """Reduce 4-limb value mod Goldilocks to canonical [0, p)."""
+    return cond_sub64(gl_reduce128_lazy(l0, l1, l2, l3), GOLDILOCKS_P)
+
+
+def gl_mul_lazy(a, b):
+    """a·b mod Goldilocks as a u64 representative (shift/add reduction only;
+    4 wide multiplies total — cheaper than a Montgomery multiply)."""
+    l0, l1, l2, l3 = mulwide64(a, b)
+    return gl_reduce128_lazy(l0, l1, l2, l3)
 
 
 def gl_mul(a, b):

@@ -47,8 +47,12 @@ from ..ops.u32 import mulhi_u32, mulwide_u32
 
 
 def _sc_mont(a, b, p, p_neginv):
-    """Montgomery product a*b*2^-32 mod p with traced scalars, canonical
-    [0, p) (u32.mont_mul with array scalars; explicit overflow tracking)."""
+    """Montgomery product a*b*2^-32 mod p with traced scalars (u32.mont_mul
+    with array scalars; explicit overflow tracking). Any-u32 representatives
+    in, any-u32 representative out; the result is canonical [0, p) only when
+    the true REDC quotient t < 2p — guaranteed when both inputs are < p
+    (the contract of mxu32_pallas._sc_mont_mul; current call sites feed
+    canonical inputs)."""
     lo, hi = mulwide_u32(a, b)
     m = lo * p_neginv
     mp_hi = mulhi_u32(m, p)

@@ -32,6 +32,15 @@ from jax import shard_map
 from ..ops import mxu32, mxu64
 
 
+def _pallas_wanted() -> bool:
+    """Fused pass kernels on real TPU, or anywhere under interpret mode —
+    the same interpret-aware gate as ops/ntt_dispatch, so the CPU test suite
+    drives the Pallas pass kernels inside the shard_map'd local sections."""
+    from ..ops.ntt_dispatch import _pallas_impls_runnable
+
+    return _pallas_impls_runnable()
+
+
 def make_sharded_prime32_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
     """(fwd, inv, to_dist, from_dist) for one prime32 channel.
 
@@ -55,11 +64,7 @@ def make_sharded_prime32_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
     d_tabs = tuple(np.asarray(a) for a in tbl["d"])  # [n2, n1] (fwd mid)
     e_tabs = tuple(np.asarray(a) for a in tbl["e"])  # [n1, n2] (inv mid)
 
-    use_pallas = False
-    try:
-        use_pallas = jax.devices()[0].platform == "tpu"
-    except Exception:
-        pass
+    use_pallas = _pallas_wanted()
 
     def _pass(x, which, diag=()):
         """One fused modular-matmul pass on the local shard (VMEM Pallas
@@ -157,14 +162,10 @@ def make_sharded_prime64_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
     val_spec = P(dp, None, axis, None)
     ntt_spec = P(dp, axis, None, None)
 
-    d_tabs = tuple(np.asarray(a) for a in tbl["d"])  # 4 × [n2, n1]
-    e_tabs = tuple(np.asarray(a) for a in tbl["e"])  # 4 × [n1, n2]
+    d_tabs = tuple(np.asarray(a) for a in tbl["d"])  # [n2, n1] (fwd mid)
+    e_tabs = tuple(np.asarray(a) for a in tbl["e"])  # [n1, n2] (inv mid)
 
-    use_pallas = False
-    try:
-        use_pallas = jax.devices()[0].platform == "tpu"
-    except Exception:
-        pass
+    use_pallas = _pallas_wanted()
 
     def _pass(pair, which, mont=(), scale=1):
         if use_pallas:
@@ -203,14 +204,14 @@ def make_sharded_prime64_mxu(plan, mesh, axis: str = "sp", batch_axis=None):
     fwd_sharded = shard_map(
         fwd_local,
         mesh=mesh,
-        in_specs=(val_spec, *([P(axis, None)] * 4)),
+        in_specs=(val_spec, *([P(axis, None)] * len(d_tabs))),
         out_specs=ntt_spec,
         check_vma=False,
     )
     inv_sharded = shard_map(
         inv_local,
         mesh=mesh,
-        in_specs=(ntt_spec, *([P(axis, None)] * 4)),
+        in_specs=(ntt_spec, *([P(axis, None)] * len(e_tabs))),
         out_specs=val_spec,
         check_vma=False,
     )

@@ -205,6 +205,19 @@ class Plan:
                 pos_res = lo  # bound < p_i so the value itself is the residue
                 neg_res = jnp.uint32(pl.p) - comp_lo
                 res32.append(jnp.where(positive, pos_res, neg_res))
+            # fused path: the centering is one cheap elementwise stage; the
+            # per-channel transforms still ride the channel-grid kernels
+            # (per-channel-input variant, since the residues differ by p_i)
+            from .ops import ntt_dispatch
+
+            ntts = ntt_dispatch.try_fwd32_perchannel_all(
+                jnp.stack(res32, axis=0), self.plans32
+            )
+            if ntts is not None:
+                out32 = jnp.stack(ntts, axis=0).reshape(
+                    len(ntts), *lead, self.n
+                )
+                return NttDomain(out32, None)
         else:
             for pl in self.plans32:
                 p = pl.p
@@ -378,34 +391,68 @@ class Plan:
     # -- convenience + the tfhe-rs hot path --------------------------------------
 
     def negacyclic_polymul(self, lhs, rhs, mode=REPLACE, standard=None,
-                           out_format=None):
+                           out_format=None, lhs_fwd_mode=GENERIC):
         """End-to-end product mod `modulus`; mode=ACCUMULATE adds into
-        `standard` (the tfhe-rs NTT-PBS hot loop, product.rs:444-445).
+        `standard` (the tfhe-rs NTT-PBS hot loop, product.rs:444-445);
+        lhs_fwd_mode=bounded(b) applies the centered forward representation
+        to lhs (the PBS accumulator operand, product.rs:303-322).
 
         u32-only channel sets ride the fused MXU fast path: residue split
-        folded into the channel-grid forward kernels, bare Montgomery
-        pointwise + scaled inverse in one kernel, then the CRT lift (+
-        accumulate) as one fused XLA elementwise stage — the TPU shape of
-        the reference's hand-written AVX512 lift+accumulate kernel
-        (product.rs:419-789). Falls back to the generic channel-wise path
-        (bit-identical) when the kernels don't apply."""
-        out = self._try_polymul_fused(lhs, rhs, mode, standard, out_format)
+        folded into the channel-grid forward kernels (Bounded centering is
+        one extra cheap elementwise stage feeding the per-channel-input
+        kernel variant), bare Montgomery pointwise + scaled inverse in one
+        kernel, then the CRT lift (+ accumulate) as one fused XLA
+        elementwise stage — the TPU shape of the reference's hand-written
+        AVX512 lift+accumulate kernel (product.rs:419-789). Falls back to
+        the generic channel-wise path (bit-identical) when the kernels
+        don't apply."""
+        out = self._try_polymul_fused(lhs, rhs, mode, standard, out_format,
+                                      lhs_fwd_mode)
         if out is not None:
             return out
-        fl = self.fwd(lhs)
+        # Honor the marshaled input format on the generic path too, so the
+        # return type matches the fused path for the same call (and traced
+        # uint32-limb inputs stay jittable instead of hitting np.asarray).
+        if out_format is None:
+            out_format = (
+                "np64"
+                if isinstance(lhs, np.ndarray) and lhs.dtype == np.uint64
+                else "limbs"
+            )
+        fl = self.fwd(lhs, lhs_fwd_mode)
         fr = self.fwd(rhs)
         return self.inv(
             self.mul_assign_normalize(fl, fr), mode, standard, out_format
         )
 
-    def _try_polymul_fused(self, lhs, rhs, mode, standard, out_format):
+    def _try_polymul_fused(self, lhs, rhs, mode, standard, out_format,
+                           lhs_fwd_mode=GENERIC):
         if self.plans64 or not self.plans32:
             return None
         from .ops import ntt_dispatch
 
         lo, hi, lead, fmt = self._marshal(lhs)
         rlo, rhi, _, _ = self._marshal(rhs)
-        fl = ntt_dispatch.try_fwd32_wide_all((lo, hi), self.plans32)
+        use_bounded = (
+            isinstance(lhs_fwd_mode, tuple)
+            and lhs_fwd_mode[0] == "bounded"
+            and len(self.plans32) == 2
+            and lhs_fwd_mode[1] < min(self.primes32)
+        )
+        if use_bounded:
+            half = const64_like(self.modulus // 2)
+            positive = ~geq64((lo, hi), half)
+            comp_lo, _ = sub64(const64_like(self.modulus), (lo, hi))
+            res = jnp.stack(
+                [
+                    jnp.where(positive, lo, jnp.uint32(pl.p) - comp_lo)
+                    for pl in self.plans32
+                ],
+                axis=0,
+            )
+            fl = ntt_dispatch.try_fwd32_perchannel_all(res, self.plans32)
+        else:
+            fl = ntt_dispatch.try_fwd32_wide_all((lo, hi), self.plans32)
         if fl is None:
             return None
         fr = ntt_dispatch.try_fwd32_wide_all((rlo, rhi), self.plans32)

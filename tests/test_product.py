@@ -110,6 +110,43 @@ def test_fwd_bounded(rng):
     assert back.tolist() == x.tolist()
 
 
+def test_fwd_bounded_matches_generic(rng):
+    # p_i | modulus, so the centered residues represent the SAME values mod
+    # each p_i: bounded fwd must agree with generic fwd channel-for-channel
+    # (it is purely the cheaper representation, product.rs:303-322).
+    plan, m = _mk(N, [P30A, P30B])
+    bound = 1 << 20
+    signed = rng.integers(-(bound // 2), bound // 2, N)
+    x = np.array([int(v) % m for v in signed], dtype=np.uint64)
+    dom_b = plan.fwd(x, mode=product.bounded(bound))
+    dom_g = plan.fwd(x)
+    np.testing.assert_array_equal(np.asarray(dom_b.res32), np.asarray(dom_g.res32))
+
+
+def test_polymul_bounded_fused_matches_generic(rng, monkeypatch):
+    """Bounded-mode lhs fwd rides the per-channel-input channel-grid kernel
+    (interpret mode) and matches the generic fused row bit-for-bit."""
+    n = 2048
+    plan, m = _mk(n, [P30A, P30B])
+    bound = 1 << 20
+    signed = rng.integers(-(bound // 2), bound // 2, (1, n))
+    lhs = np.array([[int(v) % m for v in row] for row in signed], dtype=np.uint64)
+    rhs = np.array(
+        [[int(rng.integers(0, 1 << 63)) % m for _ in range(n)]], dtype=np.uint64
+    )
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    got = np.asarray(
+        plan.negacyclic_polymul(lhs, rhs, lhs_fwd_mode=product.bounded(bound))
+    )
+    np.testing.assert_array_equal(got, want)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "xla")
+    ref = np.asarray(
+        plan.negacyclic_polymul(lhs, rhs, lhs_fwd_mode=product.bounded(bound))
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_mul_accumulate(rng):
     plan, m = _mk(N, [P30A, P30B])
     a = _rand_mod(rng, m)

@@ -7,7 +7,6 @@ satisfy — linearity, roundtrip, wrapping-oracle parity on sparse operands.
 """
 
 import numpy as np
-import pytest
 from hypothesis import given, settings, strategies as st
 
 from concrete_ntt_tpu import native64, prime32
