@@ -439,7 +439,12 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple):
     p1i, c1i, p2i, c2i = [], [], [], []
     dm, em, scal = [], [], []
     for ch, p in enumerate(primes):
-        assert multi_applicable(n, (p,)), "multi kernel needs p in (2^33, 2^62)"
+        # prime-range requirement only: the whole-transform kernel gate
+        # (fused_applicable) is enforced by the callers that build kernels;
+        # table stacking also serves parallel/channels.py at smaller n.
+        assert (1 << 33) < p < (1 << 62) and mxu64._n_dplanes(p) == 8, (
+            "channel-grid tables need p in (2^33, 2^62)"
+        )
         tbl = mxu64._tables(n, p)
         p1f.append(tbl["A"][0]); c1f.append(tbl["A"][1])
         p2f.append(tbl["F"][0]); c2f.append(tbl["F"][1])

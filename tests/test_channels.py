@@ -14,7 +14,10 @@ import pytest
 import jax
 
 from concrete_ntt_tpu import native128, native64
-from concrete_ntt_tpu.parallel.channels import ChannelShardedNative
+from concrete_ntt_tpu.parallel.channels import (
+    ChannelShardedNative,
+    ChannelShardedNative52,
+)
 
 
 @pytest.fixture(scope="module")
@@ -82,3 +85,44 @@ def test_channel_sharded_validation(mesh):
     plan52 = native64.Plan52.try_new(4096)
     with pytest.raises(ValueError, match="plan32-tier"):
         ChannelShardedNative(plan52, mesh, ch_axis="ch")
+    with pytest.raises(ValueError, match="plan52"):
+        ChannelShardedNative52(plan, mesh, ch_axis="ch")
+
+
+@pytest.fixture(scope="module")
+def mesh52():
+    # native64.Plan52 has 3 CRT channels -> a 6-device dp×ch submesh
+    devs = np.array(jax.devices()[:6]).reshape(2, 3)
+    return jax.sharding.Mesh(devs, ("dp", "ch"))
+
+
+def test_native64_plan52_polymul_sharded_bit_exact(rng, mesh52):
+    """The plan52 tier's 3 prime64 channels shard over `ch` (+ dp): the
+    sharded wrapping product must equal the single-device Plan52 plan's
+    (itself oracle-verified) bit-for-bit."""
+    n = 4096
+    plan = native64.Plan52.try_new(n)
+    sharded = ChannelShardedNative52(
+        plan, mesh52, ch_axis="ch", batch_axis="dp"
+    )
+    B = 2
+    lhs = rng.integers(0, 1 << 64, (B, n), dtype=np.uint64)
+    rhs = rng.integers(0, 1 << 64, (B, n), dtype=np.uint64)
+    got = np.asarray(sharded.negacyclic_polymul(lhs, rhs))
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native64_plan52_sharded_with_sp(rng):
+    """ch × sp composition for the plan52 tier (one all_to_all per
+    transform inside the same shard_map)."""
+    n = 4096
+    devs = np.array(jax.devices()[:6]).reshape(3, 2)
+    mesh = jax.sharding.Mesh(devs, ("ch", "sp"))
+    plan = native64.Plan52.try_new(n)
+    sharded = ChannelShardedNative52(plan, mesh, ch_axis="ch", sp_axis="sp")
+    lhs = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
+    rhs = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
+    got = np.asarray(sharded.negacyclic_polymul(lhs, rhs))
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    np.testing.assert_array_equal(got, want)

@@ -115,3 +115,42 @@ def test_reduce_u32_mod(rng):
         x = jnp.asarray(rng.integers(0, 1 << 32, 512, dtype=np.uint64).astype(np.uint32))
         got = np.asarray(ops.reduce_u32_mod(x, p, m))
         assert (got == np.asarray(x).astype(np.uint64) % p).all()
+
+
+def test_shoup_mul_u32_lazy64(rng):
+    """u32-operand Shoup specialization: t ≡ z·w (mod p), t in [0, 2p),
+    exercised across the w/p regimes the fused mxu64 epilogue uses."""
+    for p in ((1 << 50) - 27 * (1 << 16) + 0x1BFFF * 0 + 1125899903500289,
+              (1 << 61) + 20 * (1 << 18) + 1,
+              (1 << 62) - (1 << 16) + 1):
+        if p % 2 == 0:
+            continue
+        w = int(rng.integers(0, p))
+        wsh = (w << 64) // p
+        z = rng.integers(0, 1 << 32, 512, dtype=np.uint64).astype(np.uint32)
+        got = ops.shoup_mul_u32_lazy64(
+            jnp.asarray(z),
+            (np.uint32(w & 0xFFFFFFFF), np.uint32(w >> 32)),
+            (np.uint32(wsh & 0xFFFFFFFF), np.uint32(wsh >> 32)),
+            p,
+        )
+        lo, hi = (np.asarray(v) for v in got)
+        for i in range(512):
+            t = int(lo[i]) | int(hi[i]) << 32
+            assert t < 2 * p
+            assert t % p == int(z[i]) * w % p
+
+
+def test_gl_mul_lazy(rng):
+    """Lazy Goldilocks product: any-u64 representative out, correct residue."""
+    P = ops.GOLDILOCKS_P
+    a64 = rng.integers(0, 1 << 64, 256, dtype=np.uint64)
+    b64 = rng.integers(0, 1 << 64, 256, dtype=np.uint64)
+    la = ops.np_u64_to_limbs(a64)
+    lb = ops.np_u64_to_limbs(b64)
+    a = (jnp.asarray(la[:, 0]), jnp.asarray(la[:, 1]))
+    b = (jnp.asarray(lb[:, 0]), jnp.asarray(lb[:, 1]))
+    lo, hi = (np.asarray(v) for v in ops.gl_mul_lazy(a, b))
+    for i in range(256):
+        t = int(lo[i]) | int(hi[i]) << 32
+        assert t % P == int(a64[i]) * int(b64[i]) % P

@@ -6,12 +6,29 @@ has miscompiled specific shapes before (CLAUDE.md); every new kernel shape
 must pass here before its dispatch gate ships. Prints one PASS/FAIL line
 per check; exits non-zero on any FAIL.
 
+Coverage = every dispatch-reachable (engine, n, p-regime) shape class of
+the bench grid:
+  * prime32 whole-transform fused kernels (n >= 2^14) x {lt30, lt31,
+    generic 4-digit, generic 5-digit} x {fwd, scaled inv, fwd_wide 2/4-limb}
+  * prime32 pass kernels (2048 <= n < 2^14, row-fused shapes) same regimes
+  * prime64 whole-transform fused kernels x {p<2^50, p<2^62 (shoup mode),
+    p<2^63 (mont), Goldilocks (gl), p>=2^63 generic (mont)} x {fwd, inv}
+  * prime64 pass kernels (2048..8192)
+  * channel-grid kernels: fwd_wide_multi (1/2/4-limb), inv_multi,
+    pointwise_inv_multi, fwd_multi_perchannel (Bounded product), 32+64-bit
+  * VPU butterfly kernels (pallas32, n < 2048) x 3 regimes
+  * sharded-pass row slices (the shard_map local sections of
+    parallel/fourstep_mxu) for both widths
+  * B=1 padding path of the fused kernels
+
 Usage: python tools/tpu_parity.py [--quick]
+Run after ANY kernel change; commit the PASS log (TPU_PARITY_r{N}.txt).
 """
 
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,6 +37,7 @@ import functools
 import numpy as np
 
 FAILURES = []
+N_CHECKS = 0
 
 
 def run(fn, *args, **kw):
@@ -32,6 +50,8 @@ def run(fn, *args, **kw):
 
 
 def check(name, got, want):
+    global N_CHECKS
+    N_CHECKS += 1
     got, want = np.asarray(got), np.asarray(want)
     ok = np.array_equal(got, want)
     print(("PASS " if ok else "FAIL ") + name, flush=True)
@@ -50,42 +70,102 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
+    t0 = time.time()
 
     import jax.numpy as jnp
 
     from concrete_ntt_tpu.ops import mxu32, mxu32_pallas, mxu64, mxu64_pallas
-    from concrete_ntt_tpu.ops.u32 import mont_mul, mont_mul64, mont_neginv, mont_neginv64
+    from concrete_ntt_tpu.ops.u32 import (
+        mont_mul,
+        mont_mul64,
+        mont_neginv,
+        mont_neginv64,
+    )
     from concrete_ntt_tpu.tables import GOLDILOCKS, PRIMES32, PRIMES52
+    from concrete_ntt_tpu.utils.prime import (
+        largest_prime_in_arithmetic_progression64 as prime_in_ap,
+    )
 
     rng = np.random.default_rng(0xC0FFEE)
     mk32 = lambda *s: jnp.asarray(rng.integers(0, 1 << 32, s, dtype=np.uint32))
 
-    # --- prime32 passes engine (row-fused shapes at n=2048) ---------------
-    for n in (2048, 4096):
-        p = PRIMES32[0]
-        x = mk32(8, n)
-        s = pow(n, p - 2, p) * pow(2, 32, p) % p
-        check(f"passes32.fwd n={n}",
-              run(mxu32_pallas.passes_engine.fwd, x, n=n, p=p),
-              run(mxu32.fwd, x, n=n, p=p))
-        check(f"passes32.inv n={n}",
-              run(mxu32_pallas.passes_engine.inv, x, n=n, p=p, scale=s),
-              run(mxu32.inv, x, n=n, p=p, scale=s))
-        limbs = (x, mk32(8, n))
-        check(f"passes32.fwd_wide n={n}",
-              run(mxu32_pallas.passes_engine.fwd_wide, limbs, n=n, p=p),
-              run(mxu32.fwd_wide, limbs, n=n, p=p))
+    # p-regime representatives (same selection rule as benches/run.py)
+    P_LT30 = PRIMES32[0]
+    P_LT31 = prime_in_ap(1 << 16, 1, 1 << 30, 1 << 31)
+    P_GEN4 = prime_in_ap(1 << 16, 1, 1 << 31, 4278124286)  # 4 digit planes
+    P_GEN5 = prime_in_ap(1 << 16, 1, 1 << 31, (1 << 32) - 1)  # 5 digit planes
+    P32_REGIMES = [("lt30", P_LT30), ("lt31", P_LT31), ("gen4", P_GEN4),
+                   ("gen5", P_GEN5)]
+    P64_REGIMES = [
+        ("p50", PRIMES52[0]),
+        ("p62.shoup", prime_in_ap(1 << 16, 1, 1 << 61, 1 << 62)),
+        ("p63.mont", prime_in_ap(1 << 16, 1, 1 << 62, 1 << 63)),
+        ("gl", GOLDILOCKS),
+        ("p64.mont", prime_in_ap(1 << 16, 1, 1 << 63, (1 << 64) - 1)),
+    ]
 
-    # --- prime64 passes engine (row-fused 64-bit combine shapes) ----------
-    for n in (2048, 4096, 8192):
-        for p in (GOLDILOCKS, PRIMES52[0]):
+    whole_ns = (16384,) if args.quick else (16384, 32768)
+    pass_ns32 = (2048,) if args.quick else (2048, 4096, 8192)
+    pass_ns64 = (2048,) if args.quick else (2048, 4096, 8192)
+
+    # --- prime32 whole-transform fused kernels ----------------------------
+    for n in whole_ns:
+        for tag, p in P32_REGIMES:
+            x = mk32(8, n)
+            s = pow(n, p - 2, p) * pow(2, 32, p) % p
+            check(f"fused32.fwd n={n} {tag}",
+                  run(mxu32_pallas.fwd, x, n=n, p=p),
+                  run(mxu32.fwd, x, n=n, p=p))
+            check(f"fused32.inv n={n} {tag}",
+                  run(mxu32_pallas.inv, x, n=n, p=p, scale=s),
+                  run(mxu32.inv, x, n=n, p=p, scale=s))
+        # wide operands (native64/native128 residue-split fusion), lt30
+        p = P_LT30
+        for n_limbs in (2, 4):
+            limbs = tuple(mk32(8, n) for _ in range(n_limbs))
+            check(f"fused32.fwd_wide{n_limbs} n={n}",
+                  run(mxu32_pallas.fwd_wide, limbs, n=n, p=p),
+                  run(mxu32.fwd_wide, limbs, n=n, p=p))
+
+    # --- prime32 passes engine (row-fused shapes) -------------------------
+    for n in pass_ns32:
+        for tag, p in (P32_REGIMES if n == 2048 else P32_REGIMES[:1]):
+            x = mk32(8, n)
+            s = pow(n, p - 2, p) * pow(2, 32, p) % p
+            check(f"passes32.fwd n={n} {tag}",
+                  run(mxu32_pallas.passes_engine.fwd, x, n=n, p=p),
+                  run(mxu32.fwd, x, n=n, p=p))
+            check(f"passes32.inv n={n} {tag}",
+                  run(mxu32_pallas.passes_engine.inv, x, n=n, p=p, scale=s),
+                  run(mxu32.inv, x, n=n, p=p, scale=s))
+        limbs = (mk32(8, n), mk32(8, n))
+        check(f"passes32.fwd_wide n={n}",
+              run(mxu32_pallas.passes_engine.fwd_wide, limbs, n=n, p=P_LT30),
+              run(mxu32.fwd_wide, limbs, n=n, p=P_LT30))
+
+    # --- prime64 whole-transform fused kernels ----------------------------
+    for n in whole_ns:
+        for tag, p in P64_REGIMES:
             limbs = (mk32(8, n), mk32(8, n))
             s = pow(n, p - 2, p) * pow(2, 64, p) % p
-            check_pair(f"passes64.fwd n={n} p={p:#x}",
+            check_pair(f"fused64.fwd n={n} {tag}",
+                       run(mxu64_pallas.fwd, limbs, n=n, p=p),
+                       run(mxu64.fwd, limbs, n=n, p=p))
+            check_pair(f"fused64.inv n={n} {tag}",
+                       run(mxu64_pallas.inv, limbs, n=n, p=p, scale=s),
+                       run(mxu64.inv, limbs, n=n, p=p, scale=s))
+
+    # --- prime64 passes engine (row-fused 64-bit combine shapes) ----------
+    for n in pass_ns64:
+        for tag, p in (("gl", GOLDILOCKS), ("p50", PRIMES52[0])):
+            limbs = (mk32(8, n), mk32(8, n))
+            s = pow(n, p - 2, p) * pow(2, 64, p) % p
+            check_pair(f"passes64.fwd n={n} {tag}",
                        run(mxu64_pallas.passes_engine64.fwd, limbs, n=n, p=p),
                        run(mxu64.fwd, limbs, n=n, p=p))
-            check_pair(f"passes64.inv n={n} p={p:#x}",
-                       run(mxu64_pallas.passes_engine64.inv, limbs, n=n, p=p, scale=s),
+            check_pair(f"passes64.inv n={n} {tag}",
+                       run(mxu64_pallas.passes_engine64.inv, limbs, n=n, p=p,
+                           scale=s),
                        run(mxu64.inv, limbs, n=n, p=p, scale=s))
 
     n = 1 << 14
@@ -96,9 +176,30 @@ def main():
     for i, p in enumerate(primes[: 2 if args.quick else 5]):
         check(f"mxu32.fwd_wide_multi ch{i}", multi[i],
               run(mxu32.fwd_wide, limbs, n=n, p=p))
-    fl, fr = mk32(3, 8, n), mk32(3, 8, n)
+    # 1-limb (u32 operand) and 4-limb (u128 operand) channel-grid forwards
+    one = (mk32(8, n),)
+    m1 = np.asarray(run(lambda l: mxu32_pallas.fwd_wide_multi(l, primes[:3]), one))
+    for i, p in enumerate(primes[:3]):
+        check(f"mxu32.fwd_multi(u32) ch{i}", m1[i], run(mxu32.fwd, one[0], n=n, p=p))
+    four = tuple(mk32(8, n) for _ in range(4))
+    m4 = np.asarray(run(lambda l: mxu32_pallas.fwd_wide_multi(l, primes[:3]), four))
+    for i, p in enumerate(primes[:3]):
+        check(f"mxu32.fwd_wide_multi4 ch{i}", m4[i],
+              run(mxu32.fwd_wide, four, n=n, p=p))
+    # per-channel-input forward (Bounded product path)
     pr3 = primes[:3]
+    xs = mk32(3, 8, n)
+    mp = np.asarray(run(lambda v: mxu32_pallas.fwd_multi_perchannel(v, pr3), xs))
+    for i, p in enumerate(pr3):
+        check(f"mxu32.fwd_multi_perchannel ch{i}", mp[i],
+              run(mxu32.fwd, xs[i], n=n, p=p))
+    # plain inv_multi (unscaled + scaled)
     scales = tuple(pow(n, p - 2, p) * pow(2, 32, p) % p for p in pr3)
+    mi = np.asarray(run(lambda v: mxu32_pallas.inv_multi(v, pr3, scales), xs))
+    for i, p in enumerate(pr3):
+        check(f"mxu32.inv_multi ch{i}", mi[i],
+              run(mxu32.inv, xs[i], n=n, p=p, scale=scales[i]))
+    fl, fr = mk32(3, 8, n), mk32(3, 8, n)
     got = np.asarray(run(lambda a, b: mxu32_pallas.pointwise_inv_multi(a, b, pr3, scales), fl, fr))
     for i, p in enumerate(pr3):
         want = run(
@@ -116,6 +217,11 @@ def main():
         check_pair(f"mxu64.fwd_multi ch{i}", (lo[i], hi[i]),
                    run(mxu64.fwd, limbs, n=n, p=p))
     scales = tuple(pow(n, p - 2, p) * pow(2, 64, p) % p for p in pr52)
+    xl, xh = mk32(3, 8, n), mk32(3, 8, n)
+    lo, hi = run(lambda a, b: mxu64_pallas.inv_multi(a, b, pr52, scales), xl, xh)
+    for i, p in enumerate(pr52):
+        check_pair(f"mxu64.inv_multi ch{i}", (lo[i], hi[i]),
+                   run(mxu64.inv, (xl[i], xh[i]), n=n, p=p, scale=scales[i]))
     fl = (mk32(3, 8, n), mk32(3, 8, n))
     fr = (mk32(3, 8, n), mk32(3, 8, n))
     lo, hi = run(lambda a, b: mxu64_pallas.pointwise_inv_multi(a, b, pr52, scales), fl, fr)
@@ -129,10 +235,85 @@ def main():
         )
         check_pair(f"mxu64.pointwise_inv_multi ch{i}", (lo[i], hi[i]), want)
 
+    # --- VPU butterfly kernels (n < 2048 dispatch tier) -------------------
+    from concrete_ntt_tpu import prime32 as p32mod
+    from concrete_ntt_tpu.ops import pallas32
+
+    for tag, p in (("lt30", P_LT30), ("lt31", P_LT31), ("generic", P_GEN5)):
+        nn = 1024
+        plan = p32mod.Plan.try_new(nn, p)
+        x = jnp.asarray(rng.integers(0, p, (8, nn), dtype=np.uint32))
+        got = run(
+            lambda v: pallas32.try_fwd(
+                v, plan._tbl, p=p, variant=plan.variant, p_neginv=plan.p_neginv
+            ),
+            x,
+        )
+        want = run(
+            lambda v: p32mod._fwd_xla(
+                v, jnp.asarray(plan._tbl["twid"]),
+                jnp.asarray(plan._tbl.get("twid_shoup"))
+                if plan.variant != "generic" else jnp.zeros(0, jnp.uint32),
+                p=p, variant=plan.variant, p_neginv=plan.p_neginv,
+            ),
+            x,
+        )
+        if got is None:
+            print(f"SKIP pallas32.fwd n={nn} {tag} (kernel not applicable)",
+                  flush=True)
+        else:
+            check(f"pallas32.fwd n={nn} {tag}", got, want)
+
+    # --- sharded-pass row slices (fourstep_mxu local sections) ------------
+    # rank-local pass: rows = n2/s slice of the mid diagonal, row-fused
+    n = 1 << 14
+    s_shards = 4
+    tbl32 = mxu32._mxu_tables(n, P_LT30)
+    n1, n2 = tbl32["n1"], tbl32["n2"]
+    rows = n2 // s_shards
+    xloc = mk32(8, rows, n1)
+    dloc = tuple(jnp.asarray(a[:rows]) for a in tbl32["d"])
+    got = run(
+        lambda v: mxu32_pallas.pass_matmod(
+            v, n=n, p=P_LT30, which="A", diag_slices=dloc
+        ),
+        xloc,
+    )
+    want = run(
+        lambda v: mxu32._matmod_scaled_lazy(v, tbl32["A"], dloc, tbl32, p=P_LT30),
+        xloc,
+    )
+    check(f"sharded32.pass_A rows={rows}", got, want)
+    tbl64 = mxu64._tables(n, GOLDILOCKS)
+    xl = (mk32(8, rows, n1), mk32(8, rows, n1))
+    d64 = tuple(jnp.asarray(a[:rows]) for a in tbl64["d"])
+    got = run(
+        lambda a, b: mxu64_pallas.pass_matmod64(
+            (a, b), n=n, p=GOLDILOCKS, which="A", mont_slices=d64
+        ),
+        *xl,
+    )
+    want = run(
+        lambda a, b: mxu64._matmod_scaled_lazy((a, b), tbl64["A"], d64, tbl64),
+        *xl,
+    )
+    check_pair(f"sharded64.pass_A rows={rows}", got, want)
+
+    # --- B=1 padding path of the fused kernels ----------------------------
+    x1 = mk32(1, n)
+    check("fused32.fwd b=1",
+          run(mxu32_pallas.fwd, x1, n=n, p=P_LT30),
+          run(mxu32.fwd, x1, n=n, p=P_LT30))
+    l1 = (mk32(1, n), mk32(1, n))
+    check_pair("fused64.fwd b=1",
+               run(mxu64_pallas.fwd, l1, n=n, p=GOLDILOCKS),
+               run(mxu64.fwd, l1, n=n, p=GOLDILOCKS))
+
+    dt = time.time() - t0
     if FAILURES:
-        print(f"\n{len(FAILURES)} FAILURES", flush=True)
+        print(f"\n{len(FAILURES)}/{N_CHECKS} FAILURES ({dt:.0f}s)", flush=True)
         sys.exit(1)
-    print("\nall parity checks passed", flush=True)
+    print(f"\nall {N_CHECKS} parity checks passed ({dt:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
