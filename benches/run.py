@@ -61,8 +61,13 @@ def _chain_time(step, args, k=K, reps=5):
                 return step(carry), None
 
             out, _ = jax.lax.scan(body, ops, None, length=kk)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+            # touch EVERY carry leaf: anything unreachable from the returned
+            # value is dead code XLA will eliminate (observed: a step whose
+            # first leaf didn't depend on the product timed only a roll)
+            return sum(
+                jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
 
         return f
 
@@ -303,23 +308,24 @@ def _product_benches(ns, want=lambda bid: True):
 
         def step_bnd(pl=plan, bound=bound):
             # the PBS accumulator operand is centered (product.rs:303-322);
-            # the output is full-range, so keep the bounded operand fixed in
-            # the carry and rotate it to defeat loop-invariant hoisting
+            # the output is full-range, so it feeds the rhs slot while the
+            # bounded operand rotates (stays centered, never loop-invariant).
+            # The product MUST be the first carry leaf: the chain harness
+            # reads only leaf[0], and anything it cannot reach is dead code.
             import jax.numpy as jnp
 
             def fn(carry):
-                x, y = carry
+                y, x = carry  # (last product, bounded operand)
                 out = pl.negacyclic_polymul(
                     x, y, lhs_fwd_mode=product.bounded(bound)
                 )
-                x2 = jnp.roll(x, 1, axis=1)
-                return (x2, out)
+                return (out, jnp.roll(x, 1, axis=1))
 
             return fn
 
         yield f"product-2xu32-{n}", step_rep(), (a, b), BATCH
         yield f"product-2xu32-acc-{n}", step_acc(), (a, b, c), BATCH
-        yield f"product-2xu32-bounded-{n}", step_bnd(), (ab, b), BATCH
+        yield f"product-2xu32-bounded-{n}", step_bnd(), (b, ab), BATCH
 
 
 _HBM_BYTES_PER_SEC = 1.2e12  # deliberately above v5e peak (~0.8 TB/s)

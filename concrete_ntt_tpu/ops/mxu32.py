@@ -301,14 +301,44 @@ def assert_accumulator_exact(planes: np.ndarray, cvec: np.ndarray):
     )
 
 
+def off_delta(p: int, n_d: int) -> np.ndarray:
+    """Per-digit additive corrections making the sign offset vanish mod p.
+
+    The device computes V = Σ_d U_d·2^(8d) with U_d = S_d + csum_d + 2^27,
+    i.e. V = true + OFF with OFF = Σ_d 2^27·2^(8d). Instead of subtracting
+    OFF·(scale) in every epilogue, shift the offset to a multiple of p:
+    pick δ = the balanced radix-256 digits of the CENTERED (−OFF) mod p
+    (|centered| ≤ p/2, which n_d digits cover by the _n_dplanes criterion)
+    and add δ_d into cvec_d — then Σ_d (2^27+δ_d)·2^(8d) ≡ 0 (mod p) and V
+    is directly a representative of the true result. |δ_d| ≤ 128 perturbs
+    the U_d ∈ [0, 2^28) bound negligibly (re-asserted on the adjusted
+    cvec by assert_accumulator_exact)."""
+    off = sum((1 << 27) << (8 * dd) for dd in range(n_d))
+    r = (-off) % p
+    if r > p // 2:
+        r -= p  # centered representative of (−OFF) mod p
+    delta = np.zeros(n_d, dtype=np.int64)
+    rem = int(r)
+    for dd in range(n_d):
+        dig = ((rem + 128) & 255) - 128
+        delta[dd] = dig
+        rem = (rem - dig) >> 8
+    assert rem == 0, "off_delta digits overflow (violates _n_dplanes bound)"
+    return delta
+
+
 def _prep(M: np.ndarray, p: int, n_eplanes: int = 4):
-    """Digit-plane packing: native C++ when available, Python otherwise."""
+    """Digit-plane packing: native C++ when available, Python otherwise.
+    cvec is adjusted by off_delta so the sign offset is ≡ 0 mod p."""
     from .. import _native
 
     n_d = _n_dplanes32(p)
     out = _native.prep_matrix(np.ascontiguousarray(M), p, n_eplanes, n_d)
     if out is None:
         out = _prep_matrix(np.ascontiguousarray(M), p, n_eplanes, n_d)
+    planes, cvec = out
+    cvec = (cvec.astype(np.int64) + off_delta(p, n_d)[:, None]).astype(np.int32)
+    out = (planes, cvec)
     assert_accumulator_exact(*out)
     return out
 
@@ -327,14 +357,12 @@ def _mxu_tables(n: int, p: int):
 
     c32 = (1 << 32) % p
     c32_shoup = (c32 << 32) // p
-    off = sum((1 << 27) << (8 * dd) for dd in range(_n_dplanes32(p))) % p
 
     tables = {
         "n1": n1,
         "n2": n2,
         "c32": np.uint32(c32),
         "c32_shoup": np.uint32(c32_shoup),
-        "off_mod_p": np.uint32(off),
         "chain": _reduce_chain(p),
         "lazy4": 4 * p < (1 << 32),  # a+b of two [0,2p) values fits u32
         # p >= 2^31: Shoup's [0, 2p) lazy bound overflows u32, so the
@@ -347,27 +375,27 @@ def _mxu_tables(n: int, p: int):
     }
     # _matmod computes x @ planes (contraction over the input index), while the
     # operators are defined as out[r] = sum_i M[r, i] x[i] — store M transposed.
+    # The sign offset is folded to ≡ 0 mod p inside _prep (off_delta), so no
+    # epilogue ever corrects for it.
     for name, M in (("A", A.T), ("F", F.T), ("G", G.T), ("Ainv", Ainv.T)):
         planes, cvec = _prep(M, p)
         tables[name] = (planes, cvec)
 
     def scale_tabs(W):
         """Tables for the fused lazy scale-by-W epilogue: result represents
-        (V - OFF)*W mod p given limbs (lo, hi) of V: lo*W + hi*(2^32 W) + (p - OFF*W).
+        V*W mod p given limbs (lo, hi) of V: lo*W + hi*(2^32 W).
         Shoup pairs for p < 2^31; Montgomery'd multiplicands (W*2^32 mod p,
         W*2^64 mod p) for the generic p >= 2^31 regime."""
         W = W.astype(object)
         W32 = (W << 32) % p
-        pad = (p - (off * W) % p) % p
         u32a = lambda a: a.astype(np.uint64).astype(np.uint32)
         if p >= (1 << 31):
-            return (u32a(W32), u32a((W << 64) % p), u32a(pad))
+            return (u32a(W32), u32a((W << 64) % p))
         return (
             u32a(W),
             shoup(W.astype(np.uint64)),
             u32a(W32),
             shoup(W32.astype(np.uint64)),
-            u32a(pad),
         )
 
     tables["d"] = scale_tabs(d.T)  # fwd mid-pass layout [n2, n1]
@@ -448,7 +476,8 @@ def _limbs(x, mat, tbl):
 
 
 def _epilogue_canonical(lo, hi, tbl, *, p: int):
-    """(lo, hi) limbs of V = true + OFF -> canonical true mod p in [0, p)."""
+    """(lo, hi) limbs of V (≡ true mod p; the sign offset is folded into
+    cvec via off_delta) -> canonical true mod p in [0, p)."""
     if tbl["mont_regime"]:
         # hi*(2^64 mod p)*2^-32 = hi*2^32 mod p, canonical for any odd p
         r = mont_mul(hi, tbl["c64_mont"], p, tbl["p_neginv"])
@@ -456,39 +485,33 @@ def _epilogue_canonical(lo, hi, tbl, *, p: int):
         r = shoup_mul_lazy(hi, tbl["c32"], tbl["c32_shoup"], p)  # [0, 2p)
         r = jnp.where(r >= np.uint32(p), r - np.uint32(p), r)
     lo = _reduce_u32(lo, tbl["chain"])
-    s = add_mod(r, lo, p) if tbl["mont_regime"] else r + lo
-    if not tbl["mont_regime"]:
-        s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
-    # undo the 2^27 sign offsets
-    s = jnp.where(
-        s >= tbl["off_mod_p"], s - tbl["off_mod_p"], s + np.uint32(p) - tbl["off_mod_p"]
-    )
-    return s
+    if tbl["mont_regime"]:
+        return add_mod(r, lo, p)
+    s = r + lo
+    return jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
 
 
 def _epilogue_scaled_lazy(lo, hi, scale, tbl, *, p: int):
-    """(lo, hi) limbs of V = true + OFF -> true*W mod p as ANY u32
-    representative: lo*W + hi*(2^32 W) - OFF*W via two Shoup multiplies
-    (p < 2^31) or two Montgomery multiplies (generic p >= 2^31, where the
-    Shoup [0, 2p) bound overflows u32; outputs canonical instead of lazy)."""
+    """(lo, hi) limbs of V (≡ true mod p) -> true*W mod p as ANY u32
+    representative: lo*W + hi*(2^32 W) via two Shoup multiplies (p < 2^31)
+    or two Montgomery multiplies (generic p >= 2^31, where the Shoup
+    [0, 2p) bound overflows u32; outputs canonical instead of lazy)."""
     if tbl["mont_regime"]:
-        w32m, w64m, pad = (jnp.asarray(x)[None] for x in scale)
+        w32m, w64m = (jnp.asarray(x)[None] for x in scale)
         ninv = tbl["p_neginv"]
         a = mont_mul(lo, w32m, p, ninv)  # lo*W mod p, canonical
         b = mont_mul(hi, w64m, p, ninv)  # hi*2^32*W mod p, canonical
-        return add_mod(add_mod(a, b, p), pad, p)
-    w, w_sh, w32, w32_sh, pad = (jnp.asarray(x)[None] for x in scale)
+        return add_mod(a, b, p)
+    w, w_sh, w32, w32_sh = (jnp.asarray(x)[None] for x in scale)
     a = shoup_mul_lazy(lo, w, w_sh, p)  # [0, 2p)
     b = shoup_mul_lazy(hi, w32, w32_sh, p)  # [0, 2p)
     if tbl["lazy4"]:
-        s = a + b  # < 4p < 2^32
-        s = jnp.where(s >= np.uint32(2 * p), s - np.uint32(2 * p), s)
-    else:
-        a = jnp.where(a >= np.uint32(p), a - np.uint32(p), a)
-        b = jnp.where(b >= np.uint32(p), b - np.uint32(p), b)
-        s = a + b  # < 2p < 2^32
-        s = jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
-    return s + pad  # < 3p (lazy4) or < 2p; valid u32 representative
+        s = a + b  # < 4p < 2^32: valid u32 representative
+        return jnp.where(s >= np.uint32(2 * p), s - np.uint32(2 * p), s)
+    a = jnp.where(a >= np.uint32(p), a - np.uint32(p), a)
+    b = jnp.where(b >= np.uint32(p), b - np.uint32(p), b)
+    s = a + b  # < 2p < 2^32
+    return jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
 
 
 def _matmod(x, mat, tbl, *, p: int):

@@ -173,21 +173,21 @@ def fused_applicable(n: int) -> bool:
 
 
 def _sc_epilogue_scaled_lazy(lo, hi, dg, sc):
-    """Traced-scalar version of mxu32._epilogue_scaled_lazy (lazy4 regime)."""
-    p, c32, c32_sh, _off, two_p = sc
-    w, w_sh, w32, w32_sh, pad = dg
+    """Traced-scalar version of mxu32._epilogue_scaled_lazy (lazy4 regime;
+    the sign offset is folded into cvec so no pad term exists)."""
+    p, c32, c32_sh, _unused, two_p = sc
+    w, w_sh, w32, w32_sh = dg
     from .u32 import mulhi_u32
 
     a = lo * w - mulhi_u32(lo, w_sh) * p
     b = hi * w32 - mulhi_u32(hi, w32_sh) * p
     s = a + b  # < 4p < 2^32 (p < 2^30)
-    s = jnp.where(s >= two_p, s - two_p, s)
-    return s + pad  # < 3p: valid u32 representative
+    return jnp.where(s >= two_p, s - two_p, s)  # < 2p: valid representative
 
 
 def _sc_epilogue_canonical(lo, hi, sc):
     """Traced-scalar version of mxu32._epilogue_canonical for 2^29 < p < 2^30."""
-    p, c32, c32_sh, off, two_p = sc
+    p, c32, c32_sh, _unused, two_p = sc
     from .u32 import mulhi_u32
 
     r = hi * c32 - mulhi_u32(hi, c32_sh) * p  # [0, 2p)
@@ -197,8 +197,7 @@ def _sc_epilogue_canonical(lo, hi, sc):
     lo = jnp.where(lo >= two_p, lo - two_p, lo)
     lo = jnp.where(lo >= p, lo - p, lo)
     s = r + lo
-    s = jnp.where(s >= p, s - p, s)
-    return jnp.where(s >= off, s - off, s + p - off)
+    return jnp.where(s >= p, s - p, s)
 
 
 def _sc_combine(big, cvec, o):
@@ -253,10 +252,12 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
         p2i.append(mat2[0])
         c2i.append(mat2[1])
         dgi.append(tbl["e"])
+        # slot 3 is reserved-zero (formerly off_mod_p, now folded into cvec)
         scal.append(
-            [p, int(tbl["c32"]), int(tbl["c32_shoup"]), int(tbl["off_mod_p"]), 2 * p]
+            [p, int(tbl["c32"]), int(tbl["c32_shoup"]), 0, 2 * p]
         )
     stack = lambda xs: np.ascontiguousarray(np.stack(xs, axis=0))
+    n_dg = len(dgf[0])  # 4 scale-table arrays per channel
     return {
         "n1": n1,
         "n2": n2,
@@ -265,14 +266,14 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
             stack(c1f),
             stack(p2f),
             stack(c2f),
-            tuple(stack([d[j] for d in dgf]) for j in range(5)),
+            tuple(stack([d[j] for d in dgf]) for j in range(n_dg)),
         ),
         "inv": (
             stack(p1i),
             stack(c1i),
             stack(p2i),
             stack(c2i),
-            tuple(stack([d[j] for d in dgi]) for j in range(5)),
+            tuple(stack([d[j] for d in dgi]) for j in range(n_dg)),
         ),
         "scalars": np.array(scal, dtype=np.uint32),  # [C, 5]
     }
@@ -289,13 +290,14 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
     planes1, cvec1, planes2, cvec2, diag = tabs[direction]
+    n_diag = len(diag)
     n_in = (2 if pointwise else 1) * n_limbs if direction == "inv" else n_limbs
 
     def kernel(*refs):
         sc_ref = refs[0]
         p1_ref, c1_ref, p2_ref, c2_ref = refs[1:5]
-        diag_refs = refs[5:10]
-        x_refs = refs[10 : 10 + n_in]
+        diag_refs = refs[5 : 5 + n_diag]
+        x_refs = refs[5 + n_diag : 5 + n_diag + n_in]
         out_ref = refs[-1]
 
         sc = tuple(sc_ref[0, 0, j] for j in range(5))
@@ -352,7 +354,7 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
             pl.BlockSpec((1, 4, o2), lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM),
             *[
                 pl.BlockSpec((1,) + d_shape, lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM)
-                for _ in range(5)
+                for _ in range(n_diag)
             ],
         ]
         if direction == "fwd" and perch_in:

@@ -45,21 +45,31 @@ from .u32 import (
     mont_neginv64,
     mulhi64,
     mullo64,
-    select64,
     shoup_mul_lazy64,
     shoup_mul_u32_lazy64,
     sub64,
-    sub64b,
 )
 
-def _off(n_d: int) -> int:
-    return sum((1 << 27) << (8 * dd) for dd in range(n_d))
-
-
 def _n_dplanes(p: int) -> int:
-    # balanced radix-256 digits of the centered matrix (|v| <= p/2):
-    # 8 planes cover |v| < ~2^62.99; Goldilocks (p/2 ~ 2^63) needs 9.
-    return 8 if p < (1 << 62) else 9
+    """Matrix digit planes: smallest D whose balanced radix-256 digits cover
+    the centered entries |v| <= p/2 (max positive = 127*(256^D-1)/255).
+    7 for the ~50-bit Plan52 table primes, 8 up to ~2^62.99, 9 for
+    Goldilocks — fewer planes mean proportionally less MXU work and table
+    traffic (the "plane diet")."""
+    d = 1
+    while p // 2 > 127 * ((1 << (8 * d)) - 1) // 255:
+        d += 1
+    return d
+
+
+def _n_eplanes_lazy(p: int) -> int:
+    """Operand digit planes for MID-PASS values (bounded by our own scaled
+    epilogue): "shoup" mode emits < 4p -> ceil(bits(4p)/8) planes (7 for the
+    Plan52 primes); gl/mont modes emit arbitrary u64 representatives -> 8.
+    Raw user inputs always use the full 8 planes per limb pair."""
+    if _scale_mode(p) != "shoup":
+        return 8
+    return min(8, ((4 * p - 1).bit_length() + 7) // 8)
 
 
 def applicable(n: int, p: int) -> bool:
@@ -211,13 +221,18 @@ def _prep_matrix64_py(M: np.ndarray, p: int, n_eplanes: int, n_d: int):
 def _prep64(M: np.ndarray, p: int, n_eplanes: int = 8):
     n_d = _n_dplanes(p)
     from .. import _native
-    from .mxu32 import assert_accumulator_exact
+    from .mxu32 import assert_accumulator_exact, off_delta
 
     out = _native.prep_matrix(
         np.ascontiguousarray(M, dtype=np.uint64), p, n_eplanes, n_d
     )
     if out is None:
         out = _prep_matrix64_py(np.ascontiguousarray(M), p, n_eplanes, n_d)
+    planes, cvec = out
+    # fold the 2^27 sign offsets to ≡ 0 mod p (see mxu32.off_delta) so no
+    # epilogue carries an OFF correction
+    cvec = (cvec.astype(np.int64) + off_delta(p, n_d)[:, None]).astype(np.int32)
+    out = (planes, cvec)
     assert_accumulator_exact(*out)
     return out
 
@@ -238,14 +253,12 @@ def _scale_mode(p: int) -> str:
 
 def _scale_tables64(W: np.ndarray, p: int):
     """Per-element device tables for the fused scaled epilogue, as
-    little-endian u32 limb-pair arrays. Layout depends on _scale_mode:
-      shoup: (W, ⌊W·2^64/p⌋, W2=2^64·W mod p, ⌊W2·2^64/p⌋, Kc=(−OFF·W) mod p)
-             → 10 u32 arrays;
-      gl:    (W, K=OFF·W mod p) → 4 arrays;
-      mont:  (Wt=W·2^64 mod p, K) → 4 arrays (the original layout)."""
-    off = _off(_n_dplanes(p)) % p
+    little-endian u32 limb-pair arrays (the sign offset is folded into
+    cvec, so no K/OFF tables exist). Layout depends on _scale_mode:
+      shoup: (W, ⌊W·2^64/p⌋, W2=2^64·W mod p, ⌊W2·2^64/p⌋) → 8 u32 arrays;
+      gl:    (W,) → 2 arrays;
+      mont:  (Wt=W·2^64 mod p,) → 2 arrays."""
     Wo = W.astype(object)
-    K = (Wo * off) % p
 
     def split(a):
         a = a.astype(object)
@@ -259,11 +272,10 @@ def _scale_tables64(W: np.ndarray, p: int):
         W2 = (Wo << 64) % p
         Wsh = (Wo << 64) // p
         W2sh = (W2 << 64) // p
-        Kc = (p - K) % p
-        return split(Wo) + split(Wsh) + split(W2) + split(W2sh) + split(Kc)
+        return split(Wo) + split(Wsh) + split(W2) + split(W2sh)
     if mode == "gl":
-        return split(Wo) + split(K)
-    return split((Wo << 64) % p) + split(K)
+        return split(Wo)
+    return split((Wo << 64) % p)
 
 
 @lru_cache(maxsize=32)
@@ -282,11 +294,14 @@ def _tables(n: int, p: int):
         "c64_shoup": (c64 << 64) // p,
         "p_neginv": mont_neginv64(p),
         "n_d": _n_dplanes(p),
-        "off_mod_p": _off(_n_dplanes(p)) % p,
         "scale_mode": _scale_mode(p),
+        # A/G consume raw u64 representatives (8 operand planes); F/Ainv
+        # consume OUR mid-pass outputs, bounded < 4p in shoup mode, so they
+        # need only _n_eplanes_lazy planes (7 for the Plan52 primes) — the
+        # operand plane count is recovered downstream from planes.shape.
         "A": _prep64(ops["A"].T, p, 8),
-        "F": _prep64(ops["F"].T, p, 8),
-        "Ainv": _prep64(ops["Ainv"].T, p, 8),
+        "F": _prep64(ops["F"].T, p, _n_eplanes_lazy(p)),
+        "Ainv": _prep64(ops["Ainv"].T, p, _n_eplanes_lazy(p)),
         "G": _prep64(ops["G"].T, p, 8),
         "d": _scale_tables64(ops["d"].T, p),  # fwd mid layout [n2, n1]
         "e": _scale_tables64(ops["e"], p),  # inv mid layout [n1, n2]
@@ -308,7 +323,7 @@ def _wide_col_planes(n: int, p: int, n_limbs: int):
 def _scaled_ainv_planes(n: int, p: int, scale: int):
     ops = _operators(n, p)
     M = (ops["Ainv"].T.astype(object) * scale % p).astype(np.uint64)
-    return _prep64(M, p, 8)
+    return _prep64(M, p, _n_eplanes_lazy(p))
 
 
 # ---------------------------------------------------------------------------
@@ -316,12 +331,18 @@ def _scaled_ainv_planes(n: int, p: int, scale: int):
 # ---------------------------------------------------------------------------
 
 
-def _digit_cat(limbs: tuple):
+def _digit_cat(limbs: tuple, n_planes: int | None = None):
+    """int8 digit planes of the little-endian u32 limb tuple, concatenated
+    on the last axis. n_planes < 4*len(limbs) skips the top bytes — valid
+    only when the value bound guarantees they are zero (the F/Ainv mid-pass
+    operands, < 4p; see _n_eplanes_lazy)."""
+    if n_planes is None:
+        n_planes = 4 * len(limbs)
     parts = []
-    for limb in limbs:
-        for ee in range(4):
-            dig = ((limb >> np.uint32(8 * ee)) & np.uint32(255)).astype(jnp.int32)
-            parts.append((dig - 128).astype(jnp.int8))
+    for ee in range(n_planes):
+        limb = limbs[ee // 4]
+        dig = ((limb >> np.uint32(8 * (ee % 4))) & np.uint32(255)).astype(jnp.int32)
+        parts.append((dig - 128).astype(jnp.int8))
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -332,7 +353,10 @@ def _dot(xd, planes):
 
 
 def _combine8(big, cvec, o, n_d=8):
-    """int32 accumulators [..., D*O] -> 3 u32 limbs of V = result + OFF."""
+    """int32 accumulators [..., D*O] -> 3 u32 limbs of the exact value
+    V = Σ_d U_d·2^(8d), for D in [5, 9] matrix digit planes (5-7 for small
+    p — the plane diet; 8 up to ~2^63; 9 for Goldilocks)."""
+    assert 5 <= n_d <= 9, n_d
     bshape = (1,) * (big.ndim - 1) + (-1,)
     u = [
         (big[..., dd * o : (dd + 1) * o] + cvec[dd].reshape(bshape)).astype(jnp.uint32)
@@ -346,16 +370,15 @@ def _combine8(big, cvec, o, n_d=8):
     v0 = s2 + t3
     c3 = (v0 < t3).astype(jnp.uint32)
     h0 = (u[1] >> np.uint32(24)) + (u[2] >> np.uint32(16)) + (u[3] >> np.uint32(8))
-    t5, t6, t7 = u[5] << np.uint32(8), u[6] << np.uint32(16), u[7] << np.uint32(24)
-    s4 = h0 + c1 + c2 + c3 + u[4]  # < 2^28 + 2^23: no wrap
-    s5 = s4 + t5
-    d1 = (s5 < t5).astype(jnp.uint32)
-    s6 = s5 + t6
-    d2 = (s6 < t6).astype(jnp.uint32)
-    v1 = s6 + t7
-    d3 = (v1 < t7).astype(jnp.uint32)
-    v2 = (u[5] >> np.uint32(24)) + (u[6] >> np.uint32(16)) + (u[7] >> np.uint32(8))
-    v2 = v2 + d1 + d2 + d3
+    s = h0 + c1 + c2 + c3 + u[4]  # < 2^28 + 2^23: no wrap
+    v2 = jnp.zeros_like(v0)
+    for idx, sh in zip(range(5, min(n_d, 8)), (8, 16, 24)):
+        t = u[idx] << np.uint32(sh)
+        s2h = s + t
+        carry = (s2h < t).astype(jnp.uint32)
+        s = s2h
+        v2 = v2 + (u[idx] >> np.uint32(32 - sh)) + carry
+    v1 = s
     if n_d == 9:
         v2 = v2 + u[8]  # digit 8 sits at bit 64 exactly
     return v0, v1, v2
@@ -405,77 +428,69 @@ def _fold3to2(v0, v1, v2, tbl):
 
 
 def _scale_mont(rep, mont_tab, tbl):
-    """(rep - OFF8) * W mod p as a lazy 64-bit representative ("mont"/"gl"
-    scale modes). mont_tab = (X_lo, X_hi, K_lo, K_hi) with K = OFF8*W mod p
-    (sign-offset fold) and X = W*2^64 mod p (mont: the Montgomery factor
-    cancels) or X = W itself (gl: gl_mul_lazy needs no factor)."""
-    x_lo, x_hi, k_lo, k_hi = (jnp.asarray(a) for a in mont_tab)
+    """rep * W mod p as a lazy 64-bit representative ("mont"/"gl" scale
+    modes). mont_tab = (X_lo, X_hi) with X = W*2^64 mod p (mont: the
+    Montgomery factor cancels) or X = W itself (gl: gl_mul_lazy needs no
+    factor)."""
+    x_lo, x_hi = (jnp.asarray(a) for a in mont_tab)
     if tbl["goldilocks"]:
-        y = gl_mul_lazy(rep, (x_lo, x_hi))
-    else:
-        y = mont_mul64(rep, (x_lo, x_hi), tbl["p"], tbl["p_neginv"])
-    diff, borrow = sub64b(y, (k_lo, k_hi))
-    c64 = const64_like(tbl["c64"])
-    corr = (borrow.astype(jnp.uint32) * c64[0], borrow.astype(jnp.uint32) * c64[1])
-    return sub64(diff, corr)  # wrapped diff > 2^63 >> c64: no re-borrow
+        return gl_mul_lazy(rep, (x_lo, x_hi))
+    return mont_mul64(rep, (x_lo, x_hi), tbl["p"], tbl["p_neginv"])
 
 
 def _scaled_epilogue(v0, v1, v2, tab, tbl):
-    """3-limb combine output -> (V - OFF8)·W mod p as a lazy limb pair.
+    """3-limb combine output -> V·W mod p as a lazy limb pair (the sign
+    offset is folded into cvec, so V ≡ true directly).
 
     "shoup" mode is the fused fold+scale epilogue: with V = v0 + v1·2^32 +
-    v2·2^64, the result is (v0,v1)·W + v2·(2^64·W mod p) + (−OFF8·W mod p)
-    — two lazy Shoup multiplies (the v2 one u32-specialized) replacing the
-    previous top-limb fold *plus* Montgomery scale (measured VPU-epilogue-
-    bound at ~27% MXU utilization before this fusion). Bounds (p < 2^62):
-    t1, t2 ∈ [0, 2p) → t1+t2 < 4p < 2^64 exact; +Kc < 5p tracks its single
-    possible wrap with one +2^64-mod-p correction (< 2^62 + p < 2^64)."""
+    v2·2^64, the result is (v0,v1)·W + v2·(2^64·W mod p) — two lazy Shoup
+    multiplies (the v2 one u32-specialized) replacing the previous top-limb
+    fold *plus* Montgomery scale (measured VPU-epilogue-bound at ~27% MXU
+    utilization before this fusion). Bounds (p < 2^62): t1, t2 ∈ [0, 2p)
+    → t1+t2 < 4p < 2^64 exact — a valid lazy representative."""
     tab = tuple(jnp.asarray(a) for a in tab)
     if tbl["scale_mode"] == "shoup":
         p = tbl["p"]
         t1 = shoup_mul_lazy64((v0, v1), (tab[0], tab[1]), (tab[2], tab[3]), p)
         t2 = shoup_mul_u32_lazy64(v2, (tab[4], tab[5]), (tab[6], tab[7]), p)
-        s = add64(t1, t2)  # < 4p < 2^64
-        s, carry = add64c(s, (tab[8], tab[9]))
-        c64 = const64_like(tbl["c64"])
-        return add64(s, (carry * c64[0], carry * c64[1]))
+        return add64(t1, t2)  # < 4p < 2^64
     rep = _fold3to2(v0, v1, v2, tbl)
     return _scale_mont(rep, tab, tbl)
 
 
 def _canonical(v0, v1, v2, tbl):
-    """3-limb V = true + OFF8 -> canonical (true mod p) as a limb pair."""
+    """3-limb V (≡ true mod p; offset folded into cvec) -> canonical
+    (true mod p) as a limb pair."""
     p = tbl["p"]
     rep = _fold3to2(v0, v1, v2, tbl)
     if p >= (1 << 63):
-        r = cond_sub64(rep, p)  # rep < 2^64 < 2p
-    elif p >= (1 << 62):
-        r = cond_sub64(cond_sub64(rep, 2 * p), p)  # rep < 2^64 < 4p
-    else:
-        # approximate Barrett: q in [floor(rep/p)-2, floor(rep/p)],
-        # so rep - q*p < 3p < 2^64 and two conditional subtracts finish.
-        q = mulhi64(rep, const64_like(tbl["barrett"]))
-        r = sub64(rep, mullo64(q, const64_like(p)))
-        r = cond_sub64(cond_sub64(r, 2 * p), p)
-    # subtract OFF8 mod p (both canonical now)
-    off = tbl["off_mod_p"]
-    d, borrow = sub64b(r, const64_like(off))
-    return select64(borrow, add64(d, const64_like(p)), d)
+        return cond_sub64(rep, p)  # rep < 2^64 < 2p
+    if p >= (1 << 62):
+        return cond_sub64(cond_sub64(rep, 2 * p), p)  # rep < 2^64 < 4p
+    # approximate Barrett: q in [floor(rep/p)-2, floor(rep/p)],
+    # so rep - q*p < 3p < 2^64 and two conditional subtracts finish.
+    q = mulhi64(rep, const64_like(tbl["barrett"]))
+    r = sub64(rep, mullo64(q, const64_like(p)))
+    return cond_sub64(cond_sub64(r, 2 * p), p)
 
 
 def _matmod_scaled_lazy(limbs, mat, scale_tab, tbl):
     planes, cvec = (jnp.asarray(a) for a in mat)
-    o = mat[0].shape[1] // tbl["n_d"]
-    big = _dot(_digit_cat(limbs), planes)
-    v0, v1, v2 = _combine8(big, cvec, o, tbl["n_d"])
+    n_d = cvec.shape[0]
+    o = planes.shape[1] // n_d
+    n_e = planes.shape[0] // limbs[0].shape[-1]  # operand planes (plane diet)
+    big = _dot(_digit_cat(limbs, n_e), planes)
+    v0, v1, v2 = _combine8(big, cvec, o, n_d)
     return _scaled_epilogue(v0, v1, v2, scale_tab, tbl)
 
 
 def _matmod_canonical(limbs, mat, tbl):
     planes, cvec = (jnp.asarray(a) for a in mat)
-    o = mat[0].shape[1] // tbl["n_d"]
-    big = _dot(_digit_cat(limbs), planes)
-    v0, v1, v2 = _combine8(big, cvec, o, tbl["n_d"])
+    n_d = cvec.shape[0]
+    o = planes.shape[1] // n_d
+    n_e = planes.shape[0] // limbs[0].shape[-1]
+    big = _dot(_digit_cat(limbs, n_e), planes)
+    v0, v1, v2 = _combine8(big, cvec, o, n_d)
     return _canonical(v0, v1, v2, tbl)
 
 

@@ -163,7 +163,12 @@ def _fused_pass_mat64(n: int, p: int, which: str, n_limbs: int, scale: int,
         M = ops[which].T
     if f > 1:
         M = np.kron(np.eye(f, dtype=np.uint64), np.asarray(M, dtype=np.uint64))
-    return mxu64._prep64(np.ascontiguousarray(M), p, 4 * n_limbs)
+    if which in ("F", "Ainv") and n_limbs == 2:
+        # mid-pass operands are bounded < 4p by our scaled epilogue
+        n_e = mxu64._n_eplanes_lazy(p)
+    else:
+        n_e = 4 * n_limbs
+    return mxu64._prep64(np.ascontiguousarray(M), p, n_e)
 
 
 @lru_cache(maxsize=128)
@@ -172,8 +177,14 @@ def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
     tbl = mxu64._tables(n, p)
     planes, cvec = _fused_pass_mat64(n, p, which, n_limbs, scale, f)
     n_mont = len(tbl["d"]) if scaled else 0
-    k_lane = planes.shape[0] // (4 * n_limbs)
-    o = planes.shape[1] // tbl["n_d"]
+    n_d = cvec.shape[0]
+    n_e = (
+        mxu64._n_eplanes_lazy(p)
+        if which in ("F", "Ainv") and n_limbs == 2
+        else 4 * n_limbs
+    )
+    k_lane = planes.shape[0] // n_e
+    o = planes.shape[1] // n_d
 
     def kernel(*refs):
         p_ref, c_ref = refs[0], refs[1]
@@ -181,8 +192,8 @@ def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
         x_refs = refs[2 + n_mont : 2 + n_mont + n_limbs]
         out_lo_ref, out_hi_ref = refs[-2], refs[-1]
         v = tuple(r[:] for r in x_refs)
-        big = mxu64._dot(mxu64._digit_cat(v), p_ref[:])
-        trip = mxu64._combine8(big, jnp.asarray(c_ref[:]), o, tbl["n_d"])
+        big = mxu64._dot(mxu64._digit_cat(v, n_e), p_ref[:])
+        trip = mxu64._combine8(big, jnp.asarray(c_ref[:]), o, n_d)
         if scaled:
             lo, hi = mxu64._scaled_epilogue(
                 *trip, tuple(r[:] for r in mont_refs), tbl
@@ -341,7 +352,6 @@ from .u32 import (  # noqa: E402  (limb-pair array ops; scalar-free)
     mulwide64,
     select64,
     sub64,
-    sub64b,
 )
 
 
@@ -382,36 +392,33 @@ def _sc_fold3to2(v0, v1, v2, sc):
 def _sc_scaled_epilogue(v0, v1, v2, tab, sc):
     """Traced-scalar twin of mxu64._scaled_epilogue ("shoup" mode only —
     multi_applicable restricts the channel-grid kernels to p < 2^62):
-    (v0,v1)·W + v2·(2^64·W) + (−OFF8·W), two lazy Shoup multiplies."""
+    (v0,v1)·W + v2·(2^64·W), two lazy Shoup multiplies (< 4p < 2^64; the
+    sign offset is folded into cvec so no correction term exists)."""
     from .u32 import shoup_mul_u32_lazy64
 
     p = sc["p"]
     t1 = _sc_shoup_lazy64((v0, v1), (tab[0], tab[1]), (tab[2], tab[3]), p)
     t2 = shoup_mul_u32_lazy64(v2, (tab[4], tab[5]), (tab[6], tab[7]), p)
-    s = add64(t1, t2)  # < 4p < 2^64
-    s, carry = add64c(s, (tab[8], tab[9]))
-    c64 = sc["c64"]
-    return add64(s, (carry * c64[0], carry * c64[1]))
+    return add64(t1, t2)
 
 
 def _sc_canonical(v0, v1, v2, sc):
-    """3-limb V = true + OFF8 -> canonical limb pair; p < 2^62 (Barrett)."""
+    """3-limb V (≡ true mod p; offset folded into cvec) -> canonical limb
+    pair; p < 2^62 (Barrett)."""
     p = sc["p"]
     rep = _sc_fold3to2(v0, v1, v2, sc)
     q = mulhi64(rep, sc["barrett"])
     r = sub64(rep, mullo64(q, p))
-    r = _sc_cond_sub64(_sc_cond_sub64(r, sc["two_p"]), p)
-    d, borrow = sub64b(r, sc["off"])
-    return select64(borrow, add64(d, p), d)
+    return _sc_cond_sub64(_sc_cond_sub64(r, sc["two_p"]), p)
 
 
-_SC_FIELDS = ("p", "c64", "c64_shoup", "p_neginv", "barrett", "off", "two_p")
+_SC_FIELDS = ("p", "c64", "c64_shoup", "p_neginv", "barrett", "two_p")
 
 
 def _scal_vec64(n: int, p: int) -> list[int]:
     tbl = mxu64._tables(n, p)
     vals = (p, tbl["c64"], tbl["c64_shoup"], tbl["p_neginv"], tbl["barrett"],
-            tbl["off_mod_p"], 2 * p)
+            2 * p)
     out = []
     for v in vals:
         out += [v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF]
@@ -427,7 +434,7 @@ def _read_sc(sc_ref):
 
 def multi_applicable(n: int, primes) -> bool:
     return fused_applicable(n) and all(
-        (1 << 33) < p < (1 << 62) and mxu64._n_dplanes(p) == 8 for p in primes
+        (1 << 33) < p < (1 << 62) for p in primes  # "shoup" scale mode
     )
 
 
@@ -442,7 +449,7 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple):
         # prime-range requirement only: the whole-transform kernel gate
         # (fused_applicable) is enforced by the callers that build kernels;
         # table stacking also serves parallel/channels.py at smaller n.
-        assert (1 << 33) < p < (1 << 62) and mxu64._n_dplanes(p) == 8, (
+        assert (1 << 33) < p < (1 << 62), (
             "channel-grid tables need p in (2^33, 2^62)"
         )
         tbl = mxu64._tables(n, p)
@@ -456,7 +463,7 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple):
         )
         p2i.append(m2[0]); c2i.append(m2[1])
         dm.append(tbl["d"]); em.append(tbl["e"])
-        scal.append(_scal_vec64(n, p) + [0, 0])  # pad to 16
+        scal.append(_scal_vec64(n, p) + [0, 0, 0, 0])  # pad to 16
     n_tab = len(dm[0])  # 10 ("shoup" scale mode — guaranteed by p < 2^62)
     return {
         "n1": n1, "n2": n2,
@@ -494,11 +501,13 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             v = tuple(
                 jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
             )
-            big = mxu64._dot(mxu64._digit_cat(v), m1)
-            y = _sc_scaled_epilogue(*mxu64._combine8(big, cv1, n1, 8), tab, sc)
+            big = mxu64._dot(mxu64._digit_cat(v, m1.shape[0] // n1), m1)
+            y = _sc_scaled_epilogue(
+                *mxu64._combine8(big, cv1, n1, cv1.shape[0]), tab, sc
+            )
             y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n1, n2]
-            big = mxu64._dot(mxu64._digit_cat(y), m2)
-            lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n2, 8), sc)
+            big = mxu64._dot(mxu64._digit_cat(y, m2.shape[0] // n2), m2)
+            lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n2, cv2.shape[0]), sc)
             out_lo_ref[0] = lo.reshape(_B_TILE, n)
             out_hi_ref[0] = hi.reshape(_B_TILE, n)
         else:
@@ -508,11 +517,13 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
                 v = _sc_mont_mul64(a, b, sc["p"], sc["p_neginv"])
             else:
                 v = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs)
-            big = mxu64._dot(mxu64._digit_cat(v), m1)
-            y = _sc_scaled_epilogue(*mxu64._combine8(big, cv1, n2, 8), tab, sc)
+            big = mxu64._dot(mxu64._digit_cat(v, m1.shape[0] // n2), m1)
+            y = _sc_scaled_epilogue(
+                *mxu64._combine8(big, cv1, n2, cv1.shape[0]), tab, sc
+            )
             y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n2, n1]
-            big = mxu64._dot(mxu64._digit_cat(y), m2)
-            lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n1, 8), sc)
+            big = mxu64._dot(mxu64._digit_cat(y, m2.shape[0] // n1), m2)
+            lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n1, cv2.shape[0]), sc)
             out_lo_ref[0] = jnp.swapaxes(lo, 1, 2).reshape(_B_TILE, n)
             out_hi_ref[0] = jnp.swapaxes(hi, 1, 2).reshape(_B_TILE, n)
 

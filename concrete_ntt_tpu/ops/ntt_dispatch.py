@@ -224,13 +224,23 @@ def _mxu64_wanted(n, p) -> bool:
     return eng == "auto" and _on_tpu()
 
 
-def _mxu64_impl(n):
+def _fused64_profitable(n: int, p: int) -> bool:
+    """Measured A/B (docs/MXU_ENGINE.md §7a): at n = 2^15 the 9-digit-plane
+    Goldilocks working set pushes the fused whole-transform kernel past its
+    VMEM comfort and the pass-kernel tier beats it by ~10% (7659 vs 8391
+    ns/poly); every smaller-plane regime keeps the fused kernel."""
+    from . import mxu64
+
+    return not (n >= 32768 and mxu64._n_dplanes(p) >= 9)
+
+
+def _mxu64_impl(n, p):
     """Fused-Pallas mxu64 on TPU (n with both four-step factors >= 128);
     pure-XLA mxu64 elsewhere. Bit-identical."""
     if _pallas_impls_runnable():
         from . import mxu64_pallas
 
-        if mxu64_pallas.fused_applicable(n):
+        if mxu64_pallas.fused_applicable(n) and _fused64_profitable(n, p):
             return mxu64_pallas
         if n >= 2048 and mxu64_pallas.passes_applicable(n):
             # mid sizes: two fused pass kernels + XLA transpose, with small
@@ -246,13 +256,13 @@ def try_fwd64(limbs, n, p):
     """MXU four-step forward for prime64 (u64 limb pairs); None if N/A."""
     if not _mxu64_wanted(n, p):
         return None
-    return _mxu64_impl(n).fwd(limbs, n=n, p=p)
+    return _mxu64_impl(n, p).fwd(limbs, n=n, p=p)
 
 
 def try_inv64(limbs, n, p, scale: int = 1):
     if not _mxu64_wanted(n, p):
         return None
-    return _mxu64_impl(n).inv(limbs, n=n, p=p, scale=scale)
+    return _mxu64_impl(n, p).inv(limbs, n=n, p=p, scale=scale)
 
 
 def try_fwd64_wide_all(parts, plans):
@@ -265,7 +275,7 @@ def try_fwd64_wide_all(parts, plans):
         return None
     if len(parts) > 2:
         return None  # u128 inputs keep the explicit split path
-    eng = _mxu64_impl(n)
+    eng = _mxu64_impl(n, plans[0].p)
 
     limbs = tuple(parts) if len(parts) == 2 else (parts[0], jnp.zeros_like(parts[0]))
     primes = tuple(pl.p for pl in plans)
@@ -282,7 +292,7 @@ def try_pointwise_inv64_all(fl, fr, plans):
     n = fl.shape[-2]
     if not all(_mxu64_wanted(n, pl.p) for pl in plans):
         return None
-    eng = _mxu64_impl(n)
+    eng = _mxu64_impl(n, plans[0].p)
     primes = tuple(pl.p for pl in plans)
     scales = tuple(
         pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p for pl in plans

@@ -45,7 +45,7 @@ from ..ops.mxu32_pallas import (
 )
 from ..ops.u32 import mulhi_u32, mulwide_u32
 
-_SC64_FIELDS = ("p", "c64", "c64_shoup", "p_neginv", "barrett", "off", "two_p")
+_SC64_FIELDS = ("p", "c64", "c64_shoup", "p_neginv", "barrett", "two_p")
 
 
 def _sc_mont(a, b, p, p_neginv):
@@ -197,9 +197,9 @@ class ChannelShardedNative:
         scal = args[2 * nl]
         rest = args[2 * nl + 1 :]
         p1, c1, p2, c2 = rest[:4]
-        dg = rest[4:9]
-        g1, gc1, a2, ac2 = rest[9:13]
-        eg = rest[13:18]
+        dg = rest[4:8]
+        g1, gc1, a2, ac2 = rest[8:12]
+        eg = rest[12:16]
         fl = self._fwd_local(parts_l, scal, p1, c1, p2, c2, dg)
         fr = self._fwd_local(parts_r, scal, p1, c1, p2, c2, dg)
         pv = scal[:, 0][:, None, None, None]
@@ -213,9 +213,9 @@ class ChannelShardedNative:
         const_specs = (
             P(ch, None),
             *[P(ch, None, None)] * 4,
-            *[P(ch, sp, None)] * 5,
+            *[P(ch, sp, None)] * 4,
             *[P(ch, None, None)] * 4,
-            *[P(ch, sp, None)] * 5,
+            *[P(ch, sp, None)] * 4,
         )
         self._polymul_sharded = jax.jit(
             shard_map(
@@ -343,7 +343,7 @@ class ChannelShardedNative52:
         for c in range(k_loc):
             sc = self._sc(scal[c])
             big = mxu64._dot(xd, p1[c])
-            trip = mxu64._combine8(big, c1[c], self.n1, 8)
+            trip = mxu64._combine8(big, c1[c], self.n1, c1.shape[1])
             lo, hi = _sc_scaled_epilogue(*trip, tuple(t[c] for t in tg), sc)
             ys.append(jnp.stack([lo, hi], axis=-1))
         y = jnp.stack(ys, axis=0)  # [k_loc, b, n2/s, n1, 2] lazy reps
@@ -355,8 +355,13 @@ class ChannelShardedNative52:
         outs = []
         for c in range(k_loc):
             sc = self._sc(scal[c])
-            big = mxu64._dot(mxu64._digit_cat((y[c, ..., 0], y[c, ..., 1])), p2[c])
-            trip = mxu64._combine8(big, c2[c], self.n2, 8)
+            big = mxu64._dot(
+                mxu64._digit_cat(
+                    (y[c, ..., 0], y[c, ..., 1]), p2.shape[1] // self.n2
+                ),
+                p2[c],
+            )
+            trip = mxu64._combine8(big, c2[c], self.n2, c2.shape[1])
             lo, hi = _sc_canonical(*trip, sc)
             outs.append(jnp.stack([lo, hi], axis=-1))
         return jnp.stack(outs, axis=0)
@@ -373,7 +378,7 @@ class ChannelShardedNative52:
         for c in range(k_loc):
             sc = self._sc(scal[c])
             big = mxu64._dot(mxu64._digit_cat((x[c, ..., 0], x[c, ..., 1])), g1[c])
-            trip = mxu64._combine8(big, gc1[c], self.n2, 8)
+            trip = mxu64._combine8(big, gc1[c], self.n2, gc1.shape[1])
             lo, hi = _sc_scaled_epilogue(*trip, tuple(e[c] for e in eg), sc)
             ys.append(jnp.stack([lo, hi], axis=-1))
         y = jnp.stack(ys, axis=0)  # [k_loc, b, n1/s, n2, 2]
@@ -385,8 +390,13 @@ class ChannelShardedNative52:
         outs = []
         for c in range(k_loc):
             sc = self._sc(scal[c])
-            big = mxu64._dot(mxu64._digit_cat((y[c, ..., 0], y[c, ..., 1])), a2[c])
-            trip = mxu64._combine8(big, ac2[c], self.n1, 8)
+            big = mxu64._dot(
+                mxu64._digit_cat(
+                    (y[c, ..., 0], y[c, ..., 1]), a2.shape[1] // self.n1
+                ),
+                a2[c],
+            )
+            trip = mxu64._combine8(big, ac2[c], self.n1, ac2.shape[1])
             lo, hi = _sc_canonical(*trip, sc)
             outs.append(jnp.stack([lo, hi], axis=-1))
         return jnp.swapaxes(jnp.stack(outs, axis=0), 2, 3)
