@@ -50,8 +50,13 @@ def chain_time(step, args, *, length: int = 128, reps: int = 5):
                 return step(carry), None
 
             out, _ = jax.lax.scan(body, ops, None, length=k)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+            # touch EVERY carry leaf: anything unreachable from the returned
+            # value is dead code XLA eliminates (a step whose first leaf does
+            # not depend on the timed op would time nothing)
+            return sum(
+                jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
 
         return f
 

@@ -1,0 +1,99 @@
+"""Interleaved A/B of the prime64 engine tiers on real TPU hardware.
+
+Measures `fwd` at a given (n, p) across the three tiers — fused
+whole-transform Pallas kernel, Pallas pass kernels + XLA transpose/scale,
+pure-XLA mxu64 stages — in ONE process with the tiers interleaved per rep
+(cross-process throughput wobbles +/-15% on the shared chip; interleaving
+cancels it, CLAUDE.md). Informs `ntt_dispatch._fused64_profitable` — the
+Goldilocks n=2^15 routing came from this measurement (MXU_ENGINE.md §7a).
+
+Usage:
+    python tools/ab_tiers.py                 # the §7a pending set
+    python tools/ab_tiers.py 32768:p50 32768:gl ...
+
+Shape specs: {n}:{p50|p51|gl|p62|p63|p64} or {n}:{decimal prime}.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from concrete_ntt_tpu.utils.prime import (
+    largest_prime_in_arithmetic_progression64 as lpap,
+)
+
+GOLDILOCKS = (1 << 64) - (1 << 32) + 1
+REPS = 3
+BATCH = 16
+
+
+def _resolve_p(n: int, spec: str) -> int:
+    named = {
+        "p50": lambda: lpap(2 * n, 1, 0, 1 << 50),
+        "p51": lambda: lpap(2 * n, 1, 0, 1 << 51),
+        "gl": lambda: GOLDILOCKS,
+        "p62": lambda: lpap(2 * n, 1, 0, 1 << 62),
+        "p63": lambda: lpap(2 * n, 1, 1 << 62, 1 << 63),
+        "p64": lambda: lpap(2 * n, 1, 1 << 63, 1 << 64),
+    }
+    return named[spec]() if spec in named else int(spec)
+
+
+def _tiers(n: int, p: int):
+    from concrete_ntt_tpu.ops import mxu64, ntt_dispatch
+
+    tiers = {}
+    if ntt_dispatch._pallas_impls_runnable():
+        from concrete_ntt_tpu.ops import mxu64_pallas
+
+        if mxu64_pallas.fused_applicable(n):
+            tiers["fused"] = lambda limbs: mxu64_pallas.fwd(limbs, n=n, p=p)
+        if mxu64_pallas.passes_applicable(n):
+            tiers["passes"] = lambda limbs: mxu64_pallas.passes_engine64.fwd(
+                limbs, n=n, p=p
+            )
+    tiers["xla"] = lambda limbs: mxu64.fwd(limbs, n=n, p=p)
+    return tiers
+
+
+def run_ab(n: int, p: int, label: str):
+    import jax.numpy as jnp
+
+    from concrete_ntt_tpu.utils.profiling import chain_time
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, p, (BATCH, n), dtype=np.uint64)
+    lo = jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((x >> 32).astype(np.uint32))
+
+    tiers = _tiers(n, p)
+    best = {k: float("inf") for k in tiers}
+    for rep in range(REPS):
+        for name, fn in tiers.items():
+            t = chain_time(lambda limbs: fn(limbs), (lo, hi), length=32, reps=1)
+            ns = t * 1e9 / BATCH
+            best[name] = min(best[name], ns)
+            print(f"rep{rep} {label} {name}: {ns:.1f} ns/poly "
+                  f"(best {best[name]:.1f})", flush=True)
+    order = sorted(best, key=best.get)
+    print(f"RESULT {label} n={n} p={p}: " +
+          " ".join(f"{k}={best[k]:.1f}" for k in order), flush=True)
+    return best
+
+
+def main():
+    specs = sys.argv[1:] or ["32768:p50", "32768:p51", "32768:p63", "32768:gl"]
+    for spec in specs:
+        ns, ps = spec.split(":")
+        n = int(ns)
+        p = _resolve_p(n, ps)
+        run_ab(n, p, spec)
+
+
+if __name__ == "__main__":
+    main()
