@@ -45,6 +45,38 @@ def _timed(fn, *args, reps=7):
     return best
 
 
+def _probe_device(timeout_s: float = 180.0):
+    """Fail fast if the axon tunnel is down instead of hanging forever.
+
+    The remote pool can be unreachable for hours (CLAUDE.md): even
+    jax.devices() then blocks with no timeout. Probe with a tiny jit matmul
+    on a daemon thread; if it doesn't answer within timeout_s, exit(1) so
+    the caller can retry rather than wedge."""
+    import sys
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16))
+        x.block_until_ready()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(
+            f"bench.py: device probe got no answer in {timeout_s:.0f}s "
+            "(axon tunnel down?) — aborting instead of hanging",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
 def main():
     import jax
 
@@ -54,6 +86,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    _probe_device()
     import jax.numpy as jnp
 
     from concrete_ntt_tpu import native64
