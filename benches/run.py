@@ -328,6 +328,55 @@ def _product_benches(ns, want=lambda bid: True):
         yield f"product-2xu32-bounded-{n}", step_bnd(), (b, ab), BATCH
 
 
+def _large_n_benches(want=lambda bid: True):
+    """Beyond-reference sizes: the reference's tables cap transforms at
+    n = 2^15 (lib.rs:767-769); the ≡ 1 (mod 2^18) prime family
+    (tables.primes32_ext) unlocks n up to 2^17. These rows put measured
+    numbers behind that capability (--full grid only)."""
+    from concrete_ntt_tpu import native64, prime32
+    from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
+    from concrete_ntt_tpu.tables import primes32_ext
+
+    rng = np.random.default_rng(2)
+
+    def two_el(op):
+        def fn(carry):
+            a, b = carry
+            return (op(b), a)
+
+        return fn
+
+    p = primes32_ext()[0]
+    for n in (1 << 16, 1 << 17):
+        if want(f"fwd-32-{p}-{n}") or want(f"inv-32-{p}-{n}"):
+            plan = prime32.Plan.try_new(n, p)
+            if plan is not None:
+                x = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
+                x2 = rng.integers(0, p, (BATCH, n), dtype=np.uint32)
+                yield f"fwd-32-{p}-{n}", two_el(plan.fwd), (x, x2), BATCH
+                yield f"inv-32-{p}-{n}", two_el(plan.inv), (x, x2), BATCH
+
+    n = 1 << 16
+    if want(f"native64-32-{n}"):
+        plan = native64.Plan32.try_new(n)
+        if plan is not None:
+            lhs = np_u64_to_limbs(
+                rng.integers(0, 1 << 64, (BATCH, n), dtype=np.uint64)
+            )
+            rhs = np_u64_to_limbs(
+                rng.integers(0, 1 << 64, (BATCH, n), dtype=np.uint64)
+            )
+
+            def step(pl=plan):
+                def fn(carry):
+                    a, b = carry
+                    return (pl.negacyclic_polymul(a, b), a)
+
+                return fn
+
+            yield f"native64-32-{n}", step(), (lhs, rhs), BATCH
+
+
 _HBM_BYTES_PER_SEC = 1.2e12  # deliberately above v5e peak (~0.8 TB/s)
 
 
@@ -376,7 +425,8 @@ def main():
 
         all_benches = itertools.chain(
             _prime_benches(ns, want), _native_benches(ns, want),
-            _product_benches(ns, want)
+            _product_benches(ns, want),
+            _large_n_benches(want) if args.full or args.ids else iter(()),
         )
         for bid, fn, x, batch in all_benches:
             if not want(bid):
