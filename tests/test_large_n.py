@@ -33,7 +33,7 @@ def test_channel_prime_selection_by_size():
     assert native_channel_primes(5, 1 << 18) is None
 
 
-@pytest.mark.parametrize("n", [1 << 16])
+@pytest.mark.parametrize("n", [1 << 16, 1 << 17])
 def test_prime32_roundtrip_at_2pow16(rng, n):
     p = primes32_ext()[0]
     plan = prime32.Plan.try_new(n, p)

@@ -168,6 +168,42 @@ def main():
                            scale=s),
                        run(mxu64.inv, limbs, n=n, p=p, scale=s))
 
+    # --- beyond-reference sizes (≡ 1 mod 2^18 family, n = 2^16 / 2^17) ----
+    if not args.quick:
+        from concrete_ntt_tpu.tables import primes32_ext
+
+        p_ext = primes32_ext()[0]
+        for n in (1 << 16, 1 << 17):
+            x = mk32(8, n)
+            s = pow(n, p_ext - 2, p_ext) * pow(2, 32, p_ext) % p_ext
+            check(f"fused32.fwd n={n} ext",
+                  run(mxu32_pallas.fwd, x, n=n, p=p_ext),
+                  run(mxu32.fwd, x, n=n, p=p_ext))
+            check(f"fused32.inv n={n} ext",
+                  run(mxu32_pallas.inv, x, n=n, p=p_ext, scale=s),
+                  run(mxu32.inv, x, n=n, p=p_ext, scale=s))
+        # native64 polymul path at 2^16: channel-grid wide fwd over the
+        # extended family (the native64-32-65536 bench row)
+        n = 1 << 16
+        pr_ext = primes32_ext()[:5]
+        limbs = (mk32(8, n), mk32(8, n))
+        multi = np.asarray(
+            run(lambda l: mxu32_pallas.fwd_wide_multi(l, pr_ext), limbs)
+        )
+        for i, p in enumerate(pr_ext[:2]):
+            check(f"mxu32.fwd_wide_multi ext n={n} ch{i}", multi[i],
+                  run(mxu32.fwd_wide, limbs, n=n, p=p))
+        scales_ext = tuple(
+            pow(n, p - 2, p) * pow(2, 32, p) % p for p in pr_ext
+        )
+        xs_ext = mk32(5, 8, n)
+        mi_ext = np.asarray(
+            run(lambda v: mxu32_pallas.inv_multi(v, pr_ext, scales_ext), xs_ext)
+        )
+        for i, p in enumerate(pr_ext[:2]):
+            check(f"mxu32.inv_multi ext n={n} ch{i}", mi_ext[i],
+                  run(mxu32.inv, xs_ext[i], n=n, p=p, scale=scales_ext[i]))
+
     n = 1 << 14
     # --- mxu32 channel-grid (incl. the fixed in-kernel Montgomery) --------
     primes = PRIMES32[:5]
