@@ -4,7 +4,7 @@
 PY ?= python
 
 .PHONY: test test-fast bench bench-full bench-headline scaling native clean \
-	baseline lint
+	baseline lint parity
 
 # static-analysis gate, warnings-as-errors (clippy -D warnings parity,
 # reference Makefile:51-63; this image has no ruff/mypy, so the gate is the
@@ -40,6 +40,11 @@ bench-headline:
 # multi-chip scaling harness (runs on whatever mesh is available)
 scaling:
 	$(PY) benches/scaling.py
+
+# on-device bit-exactness of every Pallas kernel shape (REAL TPU; run after
+# any kernel change and commit the PASS log — Mosaic miscompiles are real)
+parity:
+	$(PY) tools/tpu_parity.py
 
 # force-rebuild the native host-math library
 native:
