@@ -130,9 +130,10 @@ def _operators(n: int, p: int):
     return cached_operators(n, p, lambda: _build_operators(n, p))
 
 
-def _build_operators(n: int, p: int):
+def _build_operators(n: int, p: int, n1: int | None = None):
     log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
+    if n1 is None:
+        n1 = 1 << (log2n // 2)
     n2 = n // n1
     from .. import _native
 
@@ -282,8 +283,13 @@ def _scale_tables64(W: np.ndarray, p: int):
 def _tables(n: int, p: int):
     log2n = n.bit_length() - 1
     n1 = 1 << (log2n // 2)
-    n2 = n // n1
-    ops = _operators(n, p)
+    return _tables_from_ops(n1, n // n1, p, _operators(n, p))
+
+
+def _tables_from_ops(n1: int, n2: int, p: int, ops: dict):
+    """Device table dict from an explicit operator set — the seam the
+    stage-split hybrid engine (ops/stagesplit.py) uses to run the four-step
+    core with per-block operators extracted from a larger transform."""
     c64 = (1 << 64) % p
     tbl = {
         "n1": n1,
@@ -498,29 +504,43 @@ def _t(pair):
     return tuple(a.transpose(0, 2, 1) for a in pair)
 
 
-def fwd(limbs: tuple, *, n: int, p: int):
-    """Forward negacyclic NTT of u64 limb-pair [B, n] arrays (or wider limb
-    tuples — the residue split folds into the column matmul). Returns
-    (lo, hi) canonical [0, p) limb pairs in bit-reversed order."""
-    tbl = _tables(n, p)
+def _fwd_core(limbs: tuple, tbl: dict, mat1=None):
+    """Four-step forward against an explicit table dict (any n1·n2)."""
     n1, n2 = tbl["n1"], tbl["n2"]
     b = limbs[0].shape[0]
-    mat1 = tbl["A"] if len(limbs) == 2 else _wide_col_planes(n, p, len(limbs))
+    if mat1 is None:
+        mat1 = tbl["A"]
     v = tuple(a.reshape(b, n1, n2).transpose(0, 2, 1) for a in limbs)
     y = _matmod_scaled_lazy(v, mat1, tbl["d"], tbl)  # [B, n2, n1] lazy u64
     y = _t(y)  # [B, n1, n2]
     out = _matmod_canonical(y, tbl["F"], tbl)
-    return tuple(a.reshape(b, n) for a in out)
+    return tuple(a.reshape(b, n1 * n2) for a in out)
 
 
-def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
-    """Inverse negacyclic NTT (unnormalized; optional folded scale)."""
-    tbl = _tables(n, p)
+def _inv_core(limbs: tuple, tbl: dict, mat2=None):
+    """Four-step inverse against an explicit table dict (any n1·n2)."""
     n1, n2 = tbl["n1"], tbl["n2"]
     b = limbs[0].shape[0]
     v = tuple(a.reshape(b, n1, n2) for a in limbs)
     y = _matmod_scaled_lazy(v, tbl["G"], tbl["e"], tbl)  # [B, n1, n2] lazy
     y = _t(y)  # [B, n2, n1]
-    mat2 = tbl["Ainv"] if scale == 1 else _scaled_ainv_planes(n, p, scale % p)
+    if mat2 is None:
+        mat2 = tbl["Ainv"]
     out = _matmod_canonical(y, mat2, tbl)
-    return tuple(a.transpose(0, 2, 1).reshape(b, n) for a in out)
+    return tuple(a.transpose(0, 2, 1).reshape(b, n1 * n2) for a in out)
+
+
+def fwd(limbs: tuple, *, n: int, p: int):
+    """Forward negacyclic NTT of u64 limb-pair [B, n] arrays (or wider limb
+    tuples — the residue split folds into the column matmul). Returns
+    (lo, hi) canonical [0, p) limb pairs in bit-reversed order."""
+    tbl = _tables(n, p)
+    mat1 = tbl["A"] if len(limbs) == 2 else _wide_col_planes(n, p, len(limbs))
+    return _fwd_core(limbs, tbl, mat1)
+
+
+def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
+    """Inverse negacyclic NTT (unnormalized; optional folded scale)."""
+    tbl = _tables(n, p)
+    mat2 = tbl["Ainv"] if scale == 1 else _scaled_ainv_planes(n, p, scale % p)
+    return _inv_core(limbs, tbl, mat2)

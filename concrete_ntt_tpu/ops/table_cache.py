@@ -36,6 +36,32 @@ def _cache_dir() -> str | None:
         return None
 
 
+def cached_arrays(key: str, build_fn):
+    """Generic variant: memoize build_fn()'s {name: uint64 array} dict under
+    an arbitrary key (the stage-split hybrid's per-block operator sets)."""
+    d = _cache_dir()
+    if d is None:
+        return build_fn()
+    path = os.path.join(d, f"arrays_v{_FORMAT}_{key}.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                out = {k: z[k] for k in z.files}
+            if out and all(v.dtype == np.uint64 for v in out.values()):
+                return out
+        except Exception:
+            pass  # corrupt/partial file: rebuild below
+    out = build_fn()
+    try:
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz")
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **{k: np.ascontiguousarray(v) for k, v in out.items()})
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return out
+
+
 def cached_operators(n: int, p: int, build_fn):
     """Return build_fn()'s {A,F,d,G,e,Ainv} dict, memoized on disk."""
     d = _cache_dir()

@@ -1,0 +1,81 @@
+"""Stage-split hybrid engine (ops/stagesplit.py): bit-exactness vs mxu64.
+
+The hybrid must be indistinguishable from the direct four-step engine for
+every prime regime, any-representative inputs (full u64 range — exercises
+the wrap corrections in the prefix butterflies), both directions, folded
+scales, and split depths ℓ = 1 and 2. Runs on the CPU backend (int8 dots
+exact everywhere)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from concrete_ntt_tpu.ops import mxu64, stagesplit
+from concrete_ntt_tpu.tables import GOLDILOCKS
+from concrete_ntt_tpu.utils.prime import (
+    largest_prime_in_arithmetic_progression64 as lpap,
+)
+
+
+def _regime_prime(n, tag):
+    return {
+        "p50": lambda: lpap(2 * n, 1, 0, 1 << 50),
+        "p62": lambda: lpap(2 * n, 1, 1 << 61, 1 << 62),
+        "p63": lambda: lpap(2 * n, 1, 1 << 62, 1 << 63),
+        "gl": lambda: GOLDILOCKS,
+        "p64": lambda: lpap(2 * n, 1, 1 << 63, (1 << 64) - 1),
+    }[tag]()
+
+
+def _limbs(rng, b, n):
+    x = rng.integers(0, 1 << 64, (b, n), dtype=np.uint64)  # any representative
+    return (
+        jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
+@pytest.mark.parametrize("tag", ["p50", "p62", "p63", "gl", "p64"])
+@pytest.mark.parametrize("n,n_h", [(512, 256), (512, 128), (1024, 256)])
+def test_hybrid_fwd_inv_match_mxu64(rng, n, n_h, tag):
+    p = _regime_prime(n, tag)
+    limbs = _limbs(rng, 2, n)
+    got = stagesplit.fwd64(limbs, n=n, p=p, n_h=n_h)
+    want = mxu64.fwd(limbs, n=n, p=p)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    got_i = stagesplit.inv64(limbs, n=n, p=p, n_h=n_h)
+    want_i = mxu64.inv(limbs, n=n, p=p)
+    for g, w in zip(got_i, want_i):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("tag", ["p50", "gl"])
+def test_hybrid_inv_folded_scale(rng, tag):
+    n, n_h = 512, 256
+    p = _regime_prime(n, tag)
+    s = pow(n, p - 2, p) * pow(2, 64, p) % p
+    limbs = _limbs(rng, 2, n)
+    got = stagesplit.inv64(limbs, n=n, p=p, scale=s, n_h=n_h)
+    want = mxu64.inv(limbs, n=n, p=p, scale=s)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_hybrid_roundtrip_is_n_times_x(rng):
+    n, n_h = 1024, 256
+    p = _regime_prime(n, "p50")
+    x = rng.integers(0, p, (2, n), dtype=np.uint64)
+    limbs = (
+        jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+    )
+    y = stagesplit.inv64(
+        stagesplit.fwd64(limbs, n=n, p=p, n_h=n_h), n=n, p=p, n_h=n_h
+    )
+    got = np.asarray(y[0]).astype(np.uint64) | (
+        np.asarray(y[1]).astype(np.uint64) << np.uint64(32)
+    )
+    want = (x.astype(object) * n % p).astype(np.uint64)
+    np.testing.assert_array_equal(got, want)
