@@ -356,6 +356,26 @@ def _large_n_benches(want=lambda bid: True):
                 yield f"fwd-32-{p}-{n}", two_el(plan.fwd), (x, x2), BATCH
                 yield f"inv-32-{p}-{n}", two_el(plan.inv), (x, x2), BATCH
 
+    # prime64 large sizes (stage-split hybrid tier; Goldilocks' 2-adic
+    # valuation 32 supports any n here)
+    from concrete_ntt_tpu import prime64
+    from concrete_ntt_tpu.utils.prime import (
+        largest_prime_in_arithmetic_progression64 as prime_in_ap,
+    )
+
+    for n in (1 << 16, 1 << 17):
+        ps64 = [prime_in_ap(2 * n, 1, 0, 1 << 50), prime64.Solinas]
+        for p64 in ps64:
+            if not (want(f"fwd-64-{p64}-{n}") or want(f"inv-64-{p64}-{n}")):
+                continue
+            plan = prime64.Plan.try_new(n, p64)
+            if plan is None:
+                continue
+            x = np_u64_to_limbs(rng.integers(0, p64, (BATCH, n), dtype=np.uint64))
+            x2 = np_u64_to_limbs(rng.integers(0, p64, (BATCH, n), dtype=np.uint64))
+            yield f"fwd-64-{p64}-{n}", two_el(plan.fwd), (x, x2), BATCH
+            yield f"inv-64-{p64}-{n}", two_el(plan.inv), (x, x2), BATCH
+
     n = 1 << 16
     if want(f"native64-32-{n}"):
         plan = native64.Plan32.try_new(n)

@@ -31,21 +31,39 @@ def fused_applicable(n: int) -> bool:
 
 @lru_cache(maxsize=128)
 def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
-                interp: bool = False):
-    tbl = mxu64._tables(n, p)
+                interp: bool = False, hyb: tuple | None = None):
+    if hyb is None:
+        tbl = mxu64._tables(n, p)
+    else:
+        # stage-split hybrid block: same kernel SHAPE class as the plain
+        # (n, p) fused kernel (n = n_h), different table constants — the
+        # per-block operators of a larger transform (ops/stagesplit.py)
+        from . import stagesplit
+
+        parent_n, blk = hyb
+        tbl = stagesplit._dev64(parent_n, p, n)["blocks"][blk]
     n1, n2 = tbl["n1"], tbl["n2"]
 
     if direction == "fwd":
-        mat1 = tbl["A"] if n_limbs == 2 else mxu64._wide_col_planes(n, p, n_limbs)
+        if n_limbs != 2:
+            assert hyb is None
+            mat1 = mxu64._wide_col_planes(n, p, n_limbs)
+        else:
+            mat1 = tbl["A"]
         diag = tbl["d"]  # 4 arrays [n2, n1]
         mat2 = tbl["F"]
     else:
         assert n_limbs == 2
         mat1 = tbl["G"]
         diag = tbl["e"]  # 4 arrays [n1, n2]
-        mat2 = (
-            tbl["Ainv"] if scale == 1 else mxu64._scaled_ainv_planes(n, p, scale)
-        )
+        if scale == 1:
+            mat2 = tbl["Ainv"]
+        elif hyb is None:
+            mat2 = mxu64._scaled_ainv_planes(n, p, scale)
+        else:
+            from . import stagesplit
+
+            mat2 = stagesplit._scaled_ainv_blocks64(hyb[0], p, n, scale)[hyb[1]]
 
     planes1, cvec1 = mat1
     planes2, cvec2 = mat2
@@ -118,24 +136,28 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
     return call
 
 
-def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int):
+def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int,
+         hyb: tuple | None = None):
     b = x_limbs[0].shape[0]
     pad = (-b) % _B_TILE
     if pad:
         x_limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in x_limbs)
-    call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode())
+    call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode(),
+                       hyb)
     lo, hi = call(*x_limbs)
     if pad:
         lo, hi = lo[:b], hi[:b]
     return lo, hi
 
 
-def fwd(limbs: tuple, *, n: int, p: int):
-    return _run(tuple(limbs), n=n, p=p, direction="fwd", scale=1)
+def fwd(limbs: tuple, *, n: int, p: int, hyb: tuple | None = None):
+    return _run(tuple(limbs), n=n, p=p, direction="fwd", scale=1, hyb=hyb)
 
 
-def inv(limbs: tuple, *, n: int, p: int, scale: int = 1):
-    return _run(tuple(limbs), n=n, p=p, direction="inv", scale=scale % p)
+def inv(limbs: tuple, *, n: int, p: int, scale: int = 1,
+        hyb: tuple | None = None):
+    return _run(tuple(limbs), n=n, p=p, direction="inv", scale=scale % p,
+                hyb=hyb)
 
 
 # ---------------------------------------------------------------------------

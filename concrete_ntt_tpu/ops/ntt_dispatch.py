@@ -234,9 +234,29 @@ def _fused64_profitable(n: int, p: int) -> bool:
     return not (n >= 32768 and mxu64._n_dplanes(p) >= 9)
 
 
-def _mxu64_impl(n, p):
-    """Fused-Pallas mxu64 on TPU (n with both four-step factors >= 128);
-    pure-XLA mxu64 elsewhere. Bit-identical."""
+def _hybrid64_wanted(n: int, p: int) -> bool:
+    """Stage-split hybrid above the 2^14 MXU sweet spot: ℓ butterfly
+    prefix stages + 2^ℓ blockwise 2^14 four-steps cut the matmul MACs from
+    n·(n1+n2) to n·256 (ops/stagesplit.py; MXU_ENGINE.md §7b).
+    CONCRETE_NTT_TPU_HYBRID=0 disables, =1 forces; default auto."""
+    env = os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto")
+    if env == "0":
+        return False
+    from . import stagesplit
+
+    return stagesplit.applicable64(n, p)
+
+
+def _mxu64_impl(n, p, pair: bool = True):
+    """Stage-split hybrid above 2^14 (u64 pairs); fused-Pallas mxu64 on TPU
+    (n with both four-step factors >= 128); pure-XLA mxu64 elsewhere. All
+    bit-identical."""
+    if pair and _hybrid64_wanted(n, p):
+        from . import stagesplit
+
+        if _pallas_impls_runnable():
+            return stagesplit.engine64_fused
+        return stagesplit.engine64_xla
     if _pallas_impls_runnable():
         from . import mxu64_pallas
 
@@ -256,13 +276,15 @@ def try_fwd64(limbs, n, p):
     """MXU four-step forward for prime64 (u64 limb pairs); None if N/A."""
     if not _mxu64_wanted(n, p):
         return None
-    return _mxu64_impl(n, p).fwd(limbs, n=n, p=p)
+    return _mxu64_impl(n, p, pair=len(limbs) == 2).fwd(limbs, n=n, p=p)
 
 
 def try_inv64(limbs, n, p, scale: int = 1):
     if not _mxu64_wanted(n, p):
         return None
-    return _mxu64_impl(n, p).inv(limbs, n=n, p=p, scale=scale)
+    return _mxu64_impl(n, p, pair=len(limbs) == 2).inv(
+        limbs, n=n, p=p, scale=scale
+    )
 
 
 def try_fwd64_wide_all(parts, plans):
@@ -275,7 +297,9 @@ def try_fwd64_wide_all(parts, plans):
         return None
     if len(parts) > 2:
         return None  # u128 inputs keep the explicit split path
-    eng = _mxu64_impl(n, plans[0].p)
+    # pair=False: CRT channels keep the channel-grid kernels until the
+    # stage-split hybrid grows a channel-grid variant (measured A/B pending)
+    eng = _mxu64_impl(n, plans[0].p, pair=False)
 
     limbs = tuple(parts) if len(parts) == 2 else (parts[0], jnp.zeros_like(parts[0]))
     primes = tuple(pl.p for pl in plans)
@@ -292,7 +316,7 @@ def try_pointwise_inv64_all(fl, fr, plans):
     n = fl.shape[-2]
     if not all(_mxu64_wanted(n, pl.p) for pl in plans):
         return None
-    eng = _mxu64_impl(n, plans[0].p)
+    eng = _mxu64_impl(n, plans[0].p, pair=False)
     primes = tuple(pl.p for pl in plans)
     scales = tuple(
         pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p for pl in plans

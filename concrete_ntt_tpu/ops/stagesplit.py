@@ -359,3 +359,76 @@ def inv64(limbs: tuple, *, n: int, p: int, scale: int = 1, n_h: int = N_H):
     for s in range(dv["l"] - 1, -1, -1):
         x = _stage_inv64(x, dv["inv_tw"][s], dv["sc"])
     return x
+
+
+# ---------------------------------------------------------------------------
+# Fused-Pallas tier: prefix/suffix in XLA, blocks as the PROVEN (n_h, p)
+# whole-transform kernel shape class with per-block table constants
+# ---------------------------------------------------------------------------
+
+
+def fwd64_fused(limbs: tuple, *, n: int, p: int, n_h: int = N_H):
+    """Hybrid forward with the blocks on the fused Pallas kernels."""
+    from . import mxu64_pallas
+
+    dv = _dev64(n, p, n_h)
+    x = tuple(jnp.asarray(a) for a in limbs)
+    for s in range(dv["l"]):
+        x = _stage_fwd64(x, dv["fwd_tw"][s], dv["sc"])
+    b = x[0].shape[0]
+    nb = 1 << dv["l"]
+    xb = tuple(a.reshape(b, nb, n_h) for a in x)
+    outs = [
+        mxu64_pallas.fwd(
+            tuple(a[:, i, :] for a in xb), n=n_h, p=p, hyb=(n, i)
+        )
+        for i in range(nb)
+    ]
+    return tuple(
+        jnp.concatenate([o[j] for o in outs], axis=-1) for j in range(2)
+    )
+
+
+def inv64_fused(limbs: tuple, *, n: int, p: int, scale: int = 1,
+                n_h: int = N_H):
+    """Hybrid inverse with the blocks on the fused Pallas kernels."""
+    from . import mxu64_pallas
+
+    dv = _dev64(n, p, n_h)
+    x = tuple(jnp.asarray(a) for a in limbs)
+    b = x[0].shape[0]
+    nb = 1 << dv["l"]
+    xb = tuple(a.reshape(b, nb, n_h) for a in x)
+    outs = [
+        mxu64_pallas.inv(
+            tuple(a[:, i, :] for a in xb), n=n_h, p=p, scale=scale, hyb=(n, i)
+        )
+        for i in range(nb)
+    ]
+    x = tuple(
+        jnp.concatenate([o[j] for o in outs], axis=-1) for j in range(2)
+    )
+    for s in range(dv["l"] - 1, -1, -1):
+        x = _stage_inv64(x, dv["inv_tw"][s], dv["sc"])
+    return x
+
+
+class _Engine64:
+    """Dispatch shim with the mxu64 engine surface (u64 limb pairs only —
+    the dispatcher keeps wide limb tuples on the direct four-step)."""
+
+    def __init__(self, fused: bool):
+        self._fused = fused
+
+    def fwd(self, limbs, *, n, p):
+        assert len(limbs) == 2, "hybrid engine is u64-pair only"
+        return (fwd64_fused if self._fused else fwd64)(limbs, n=n, p=p)
+
+    def inv(self, limbs, *, n, p, scale=1):
+        assert len(limbs) == 2, "hybrid engine is u64-pair only"
+        f = inv64_fused if self._fused else inv64
+        return f(limbs, n=n, p=p, scale=scale)
+
+
+engine64_fused = _Engine64(fused=True)
+engine64_xla = _Engine64(fused=False)

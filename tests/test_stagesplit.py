@@ -63,6 +63,43 @@ def test_hybrid_inv_folded_scale(rng, tag):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_dispatch_hybrid_at_2pow15_matches_direct(rng, monkeypatch):
+    """The auto dispatch tier (n > 2^14, u64 pairs) is bit-identical to the
+    direct four-step through the public dispatch entry points."""
+    from concrete_ntt_tpu.ops import ntt_dispatch
+
+    n = 1 << 15
+    p = _regime_prime(n, "p50")
+    limbs = _limbs(rng, 1, n)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "0")
+    want_f = ntt_dispatch.try_fwd64(limbs, n, p)
+    want_i = ntt_dispatch.try_inv64(limbs, n, p, scale=7)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "auto")
+    got_f = ntt_dispatch.try_fwd64(limbs, n, p)
+    got_i = ntt_dispatch.try_inv64(limbs, n, p, scale=7)
+    for g, w in zip(got_f + got_i, want_f + want_i):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_hybrid_fused_pallas_interpret_matches_xla(rng, monkeypatch):
+    """The fused-Pallas hybrid tier (prefix in XLA + per-block fused
+    kernels with injected tables) in interpreter mode vs the XLA hybrid."""
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    n = 1 << 15
+    p = _regime_prime(n, "p50")
+    limbs = _limbs(rng, 2, n)
+    got = stagesplit.fwd64_fused(limbs, n=n, p=p)
+    want = stagesplit.fwd64(limbs, n=n, p=p)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    s = pow(n, p - 2, p) * pow(2, 64, p) % p
+    got_i = stagesplit.inv64_fused(limbs, n=n, p=p, scale=s)
+    want_i = stagesplit.inv64(limbs, n=n, p=p, scale=s)
+    for g, w in zip(got_i, want_i):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_hybrid_roundtrip_is_n_times_x(rng):
     n, n_h = 1024, 256
     p = _regime_prime(n, "p50")

@@ -168,6 +168,27 @@ def main():
                            scale=s),
                        run(mxu64.inv, limbs, n=n, p=p, scale=s))
 
+    # --- stage-split hybrid tier (prefix stages + blockwise 2^14 kernels) -
+    from concrete_ntt_tpu.ops import stagesplit
+
+    hyb_shapes = [(32768, tag, p) for tag, p in P64_REGIMES]
+    if not args.quick:
+        # beyond-reference sizes need primes ≡ 1 mod 2n (Goldilocks' 2-adic
+        # valuation is 32; the p50 table primes cap at n = 2^15)
+        hyb_shapes += [
+            (65536, "p50ext", prime_in_ap(1 << 17, 1, 0, 1 << 50)),
+            (131072, "gl", GOLDILOCKS),
+        ]
+    for n, tag, p in hyb_shapes:
+        limbs = (mk32(8, n), mk32(8, n))
+        s = pow(n, p - 2, p) * pow(2, 64, p) % p
+        check_pair(f"hybrid64.fwd n={n} {tag}",
+                   run(stagesplit.fwd64_fused, limbs, n=n, p=p),
+                   run(mxu64.fwd, limbs, n=n, p=p))
+        check_pair(f"hybrid64.inv n={n} {tag}",
+                   run(stagesplit.inv64_fused, limbs, n=n, p=p, scale=s),
+                   run(mxu64.inv, limbs, n=n, p=p, scale=s))
+
     # --- beyond-reference sizes (≡ 1 mod 2^18 family, n = 2^16 / 2^17) ----
     if not args.quick:
         from concrete_ntt_tpu.tables import primes32_ext
