@@ -45,7 +45,7 @@ def _resolve_p(n: int, spec: str) -> int:
 
 
 def _tiers(n: int, p: int):
-    from concrete_ntt_tpu.ops import mxu64, ntt_dispatch
+    from concrete_ntt_tpu.ops import mxu64, ntt_dispatch, stagesplit
 
     tiers = {}
     if ntt_dispatch._pallas_impls_runnable():
@@ -55,6 +55,10 @@ def _tiers(n: int, p: int):
             tiers["fused"] = lambda limbs: mxu64_pallas.fwd(limbs, n=n, p=p)
         if mxu64_pallas.passes_applicable(n):
             tiers["passes"] = lambda limbs: mxu64_pallas.passes_engine64.fwd(
+                limbs, n=n, p=p
+            )
+        if stagesplit.applicable64(n, p):
+            tiers["hybrid"] = lambda limbs: stagesplit.fwd64_fused(
                 limbs, n=n, p=p
             )
     tiers["xla"] = lambda limbs: mxu64.fwd(limbs, n=n, p=p)
