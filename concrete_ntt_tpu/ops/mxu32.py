@@ -347,8 +347,13 @@ def _prep(M: np.ndarray, p: int, n_eplanes: int = 4):
 def _mxu_tables(n: int, p: int):
     log2n = n.bit_length() - 1
     n1 = 1 << (log2n // 2)
-    n2 = n // n1
-    ops = _operators(n, p)
+    return _mxu_tables_from_ops(n1, n // n1, p, _operators(n, p))
+
+
+def _mxu_tables_from_ops(n1: int, n2: int, p: int, ops: dict):
+    """Device table dict from an explicit operator set — the seam the
+    stage-split hybrid engine (ops/stagesplit.py) uses for per-block
+    operators extracted from a larger transform."""
     A, F, d = ops["A"], ops["F"], ops["d"]
     G, e, Ainv = ops["G"], ops["e"], ops["Ainv"]
 
@@ -527,18 +532,24 @@ def _matmod_scaled_lazy(x, mat, scale, tbl, *, p: int):
     return _epilogue_scaled_lazy(lo, hi, scale, tbl, p=p)
 
 
-def fwd(x, *, n: int, p: int):
-    """[B, n] u32 -> forward negacyclic NTT, bit-reversed order, [0, p)."""
-    tbl = _mxu_tables(n, p)
+def _fwd_core(x, tbl, *, p: int, mat1=None):
+    """Four-step forward against an explicit table dict (any n1·n2)."""
     n1, n2 = tbl["n1"], tbl["n2"]
     b = x.shape[0]
+    if mat1 is None:
+        mat1 = tbl["A"]
     v = x.reshape(b, n1, n2).transpose(0, 2, 1)  # [B, n2, n1]
     # column pass + fused twiddle correction: contract n1 -> [B, n2, n1]
-    y = _matmod_scaled_lazy(v, tbl["A"], tbl["d"], tbl, p=p)
+    y = _matmod_scaled_lazy(v, mat1, tbl["d"], tbl, p=p)
     y = y.transpose(0, 2, 1)  # [B, n1, n2]
     # row pass: contract n2 -> [B, n1, n2], canonical
     out = _matmod(y, tbl["F"], tbl, p=p)
-    return out.reshape(b, n)
+    return out.reshape(b, n1 * n2)
+
+
+def fwd(x, *, n: int, p: int):
+    """[B, n] u32 -> forward negacyclic NTT, bit-reversed order, [0, p)."""
+    return _fwd_core(x, _mxu_tables(n, p), p=p)
 
 
 @lru_cache(maxsize=128)
@@ -582,6 +593,12 @@ def inv(x, *, n: int, p: int, scale: int = 1):
     non-unit scale multiplies every output by the constant for free (folded
     into the column matrix)."""
     tbl = _mxu_tables(n, p)
+    mat = tbl["Ainv"] if scale == 1 else _scaled_ainv_planes(n, p, scale % p)
+    return _inv_core(x, tbl, p=p, mat2=mat)
+
+
+def _inv_core(x, tbl, *, p: int, mat2=None):
+    """Four-step inverse against an explicit table dict (any n1·n2)."""
     n1, n2 = tbl["n1"], tbl["n2"]
     b = x.shape[0]
     v = x.reshape(b, n1, n2)
@@ -589,9 +606,10 @@ def inv(x, *, n: int, p: int, scale: int = 1):
     y = _matmod_scaled_lazy(v, tbl["G"], tbl["e"], tbl, p=p)
     y = y.transpose(0, 2, 1)  # [B, n2, n1]
     # column pass: contract n1 -> [B, n2, n1], canonical
-    mat = tbl["Ainv"] if scale == 1 else _scaled_ainv_planes(n, p, scale % p)
-    out = _matmod(y, mat, tbl, p=p)
-    return out.transpose(0, 2, 1).reshape(b, n)
+    if mat2 is None:
+        mat2 = tbl["Ainv"]
+    out = _matmod(y, mat2, tbl, p=p)
+    return out.transpose(0, 2, 1).reshape(b, n1 * n2)
 
 
 def applicable(n: int, p: int, variant: str) -> bool:

@@ -33,21 +33,37 @@ _B_TILE = 8
 
 @lru_cache(maxsize=256)
 def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
-                interp: bool = False):
-    tbl = mxu32._mxu_tables(n, p)
+                interp: bool = False, hyb: tuple | None = None):
+    if hyb is None:
+        tbl = mxu32._mxu_tables(n, p)
+    else:
+        # stage-split hybrid block: same kernel SHAPE class as the plain
+        # (n, p) fused kernel, different table constants (ops/stagesplit.py)
+        from . import stagesplit
+
+        tbl = stagesplit._dev32(hyb[0], p, n)["blocks"][hyb[1]]
     n1, n2 = tbl["n1"], tbl["n2"]
 
     if direction == "fwd":
-        mat1 = (
-            mxu32._wide_col_planes(n, p, n_limbs) if n_limbs > 1 else tbl["A"]
-        )
+        if n_limbs > 1:
+            assert hyb is None
+            mat1 = mxu32._wide_col_planes(n, p, n_limbs)
+        else:
+            mat1 = tbl["A"]
         diag = tbl["d"]  # layout [n2, n1]
         mat2 = tbl["F"]
     else:
         assert n_limbs == 1
         mat1 = tbl["G"]
         diag = tbl["e"]  # layout [n1, n2]
-        mat2 = tbl["Ainv"] if scale == 1 else mxu32._scaled_ainv_planes(n, p, scale)
+        if scale == 1:
+            mat2 = tbl["Ainv"]
+        elif hyb is None:
+            mat2 = mxu32._scaled_ainv_planes(n, p, scale)
+        else:
+            from . import stagesplit
+
+            mat2 = stagesplit._scaled_ainv_blocks32(hyb[0], p, n, scale)[hyb[1]]
 
     planes1, cvec1 = mat1
     planes2, cvec2 = mat2
@@ -127,26 +143,28 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
     return call
 
 
-def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int):
+def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int,
+         hyb: tuple | None = None):
     b = x_limbs[0].shape[0]
     pad = (-b) % _B_TILE
     if pad:
         x_limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in x_limbs)
-    call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode())
+    call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode(),
+                       hyb)
     out = call(*x_limbs)
     return out[:b] if pad else out
 
 
-def fwd(x, *, n: int, p: int):
-    return _run((x,), n=n, p=p, direction="fwd", scale=1)
+def fwd(x, *, n: int, p: int, hyb: tuple | None = None):
+    return _run((x,), n=n, p=p, direction="fwd", scale=1, hyb=hyb)
 
 
 def fwd_wide(limbs: tuple, *, n: int, p: int):
     return _run(tuple(limbs), n=n, p=p, direction="fwd", scale=1)
 
 
-def inv(x, *, n: int, p: int, scale: int = 1):
-    return _run((x,), n=n, p=p, direction="inv", scale=scale % p)
+def inv(x, *, n: int, p: int, scale: int = 1, hyb: tuple | None = None):
+    return _run((x,), n=n, p=p, direction="inv", scale=scale % p, hyb=hyb)
 
 
 def fused_applicable(n: int) -> bool:

@@ -340,9 +340,30 @@ def try_pointwise_inv64_all(fl, fr, plans):
     return outs
 
 
+def _hybrid32_wanted(n: int, p: int, variant: str) -> bool:
+    """Stage-split hybrid above the 2^14 MXU sweet spot (see
+    _hybrid64_wanted; same CONCRETE_NTT_TPU_HYBRID knob)."""
+    env = os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto")
+    if env == "0":
+        return False
+    from . import stagesplit
+
+    return stagesplit.applicable32(n, p, variant)
+
+
+def _hybrid32_impl():
+    from . import stagesplit
+
+    if _pallas_impls_runnable():
+        return stagesplit.engine32_fused
+    return stagesplit.engine32_xla
+
+
 def fwd32(x, tbl, *, p, variant, p_neginv):
     n = x.shape[-1]
     if _mxu_wanted(n, p, variant):
+        if _hybrid32_wanted(n, p, variant):
+            return _hybrid32_impl().fwd(x, n=n, p=p)
         return _mxu_impl(n).fwd(x, n=n, p=p)
     if _pallas_available():
         from . import pallas32
@@ -366,6 +387,8 @@ def fwd32(x, tbl, *, p, variant, p_neginv):
 def inv32(x, tbl, *, p, variant, p_neginv):
     n = x.shape[-1]
     if _mxu_wanted(n, p, variant):
+        if _hybrid32_wanted(n, p, variant):
+            return _hybrid32_impl().inv(x, n=n, p=p)
         return _mxu_impl(n).inv(x, n=n, p=p)
     if _pallas_available():
         from . import pallas32

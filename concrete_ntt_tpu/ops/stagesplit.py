@@ -432,3 +432,228 @@ class _Engine64:
 
 engine64_fused = _Engine64(fused=True)
 engine64_xla = _Engine64(fused=False)
+
+
+# ---------------------------------------------------------------------------
+# 32-bit hybrid (prime32): same host build, u32 stage butterflies
+# ---------------------------------------------------------------------------
+
+
+def applicable32(n: int, p: int, variant: str, n_h: int = N_H) -> bool:
+    from . import mxu32
+
+    return n > n_h and (n & (n - 1)) == 0 and mxu32.applicable(n_h, p, variant)
+
+
+def _stage_tabs32(tw: np.ndarray, p: int, mont: bool):
+    l = tw.shape[0].bit_length() - 1
+    tabs = []
+    for s in range(l):
+        w = [int(x) for x in tw[1 << s : 2 << s]]
+        shape = (1, 1 << s, 1)
+        if mont:
+            tabs.append(
+                (np.array([(x << 32) % p for x in w], np.uint32).reshape(shape),)
+            )
+        else:
+            tabs.append((
+                np.array(w, np.uint32).reshape(shape),
+                np.array([(x << 32) // p for x in w], np.uint32).reshape(shape),
+            ))
+    return tabs
+
+
+def _add_rep32(a, b, c32):
+    """a + b as a valid u32 representative for ANY representatives (each
+    2^32 wrap compensated by +2^32 mod p; c32 < 2^31, so at most two)."""
+    s = a + b
+    c = (s < a).astype(jnp.uint32)
+    s2 = s + c * c32
+    c2 = (s2 < s).astype(jnp.uint32)
+    return s2 + c2 * c32
+
+
+def _sub_rep32(a, b, c32):
+    d = a - b
+    bo = (a < b).astype(jnp.uint32)
+    d2 = d - bo * c32
+    bo2 = (d2 > d).astype(jnp.uint32)
+    return d2 - bo2 * c32
+
+
+def _stage_fwd32(x, w_tab, sc):
+    from .u32 import mont_mul, shoup_mul_lazy
+
+    b, n = x.shape
+    m = w_tab[0].shape[1]
+    t = n // (2 * m)
+    v = x.reshape(b, m, 2, t)
+    z0, z1 = v[:, :, 0, :], v[:, :, 1, :]
+    if sc["mont"]:
+        wz1 = mont_mul(z1, jnp.asarray(w_tab[0]), sc["p"], sc["neginv"])
+    else:
+        wz1 = shoup_mul_lazy(
+            z1, jnp.asarray(w_tab[0]), jnp.asarray(w_tab[1]), sc["p"]
+        )
+    top = _add_rep32(z0, wz1, sc["c32"])
+    bot = _sub_rep32(z0, wz1, sc["c32"])
+    return jnp.stack([top, bot], axis=2).reshape(b, n)
+
+
+def _stage_inv32(x, w_tab, sc):
+    from .u32 import add_mod, mont_mul, shoup_mul_lazy
+
+    b, n = x.shape
+    m = w_tab[0].shape[1]
+    t = n // (2 * m)
+    p = sc["p"]
+    v = x.reshape(b, m, 2, t)
+    y0, y1 = v[:, :, 0, :], v[:, :, 1, :]
+    top = add_mod(y0, y1, p)
+    d0 = y0 - y1
+    d = jnp.where(y0 >= y1, d0, d0 + np.uint32(p))
+    if sc["mont"]:
+        bot = mont_mul(d, jnp.asarray(w_tab[0]), p, sc["neginv"])
+    else:
+        tl = shoup_mul_lazy(
+            d, jnp.asarray(w_tab[0]), jnp.asarray(w_tab[1]), p
+        )
+        bot = jnp.where(tl >= np.uint32(p), tl - np.uint32(p), tl)
+    return jnp.stack([top, bot], axis=2).reshape(b, n)
+
+
+@lru_cache(maxsize=16)
+def _dev32(n: int, p: int, n_h: int):
+    from . import mxu32
+    from .u32 import mont_neginv
+
+    ops = _hybrid_ops(n, p, n_h)
+    l = (n // n_h).bit_length() - 1
+    nb = 1 << l
+    n1h = 1 << ((n_h.bit_length() - 1) // 2)
+    n2 = n_h // n1h
+    mont = p >= (1 << 31)
+    blocks = tuple(
+        mxu32._mxu_tables_from_ops(
+            n1h,
+            n2,
+            p,
+            {
+                "A": ops[f"A{b}"],
+                "F": ops["F"],
+                "d": ops[f"d{b}"],
+                "G": ops["G"],
+                "e": ops[f"e{b}"],
+                "Ainv": ops[f"Ainv{b}"],
+            },
+        )
+        for b in range(nb)
+    )
+    sc = {
+        "p": p,
+        "mont": mont,
+        "neginv": mont_neginv(p),
+        "c32": np.uint32((1 << 32) % p),
+    }
+    return {
+        "l": l,
+        "blocks": blocks,
+        "sc": sc,
+        "fwd_tw": _stage_tabs32(ops["tw"], p, mont),
+        "inv_tw": _stage_tabs32(ops["itw"], p, mont),
+    }
+
+
+@lru_cache(maxsize=32)
+def _scaled_ainv_blocks32(n: int, p: int, n_h: int, scale: int):
+    from . import mxu32
+
+    ops = _hybrid_ops(n, p, n_h)
+    nb = n // n_h
+    out = []
+    for b in range(nb):
+        M = (ops[f"Ainv{b}"].T.astype(object) * scale % p).astype(np.uint64)
+        out.append(mxu32._prep(M, p))
+    return tuple(out)
+
+
+def _hybrid32_run(x, n, p, n_h, direction, scale, fused):
+    from . import mxu32
+
+    dv = _dev32(n, p, n_h)
+    x = jnp.asarray(x)
+    nb = 1 << dv["l"]
+    if direction == "fwd":
+        for s in range(dv["l"]):
+            x = _stage_fwd32(x, dv["fwd_tw"][s], dv["sc"])
+    b = x.shape[0]
+    xb = x.reshape(b, nb, n_h)
+    if fused:
+        from . import mxu32_pallas
+
+        if direction == "fwd":
+            outs = [
+                mxu32_pallas.fwd(xb[:, i, :], n=n_h, p=p, hyb=(n, i))
+                for i in range(nb)
+            ]
+        else:
+            outs = [
+                mxu32_pallas.inv(
+                    xb[:, i, :], n=n_h, p=p, scale=scale, hyb=(n, i)
+                )
+                for i in range(nb)
+            ]
+    else:
+        mats = (
+            [None] * nb
+            if direction == "fwd" or scale == 1
+            else _scaled_ainv_blocks32(n, p, n_h, scale % p)
+        )
+        if direction == "fwd":
+            outs = [
+                mxu32._fwd_core(xb[:, i, :], dv["blocks"][i], p=p)
+                for i in range(nb)
+            ]
+        else:
+            outs = [
+                mxu32._inv_core(xb[:, i, :], dv["blocks"][i], p=p, mat2=mats[i])
+                for i in range(nb)
+            ]
+    x = jnp.concatenate(outs, axis=-1)
+    if direction == "inv":
+        for s in range(dv["l"] - 1, -1, -1):
+            x = _stage_inv32(x, dv["inv_tw"][s], dv["sc"])
+    return x
+
+
+def fwd32(x, *, n: int, p: int, n_h: int = N_H):
+    return _hybrid32_run(x, n, p, n_h, "fwd", 1, fused=False)
+
+
+def inv32(x, *, n: int, p: int, scale: int = 1, n_h: int = N_H):
+    return _hybrid32_run(x, n, p, n_h, "inv", scale, fused=False)
+
+
+def fwd32_fused(x, *, n: int, p: int, n_h: int = N_H):
+    return _hybrid32_run(x, n, p, n_h, "fwd", 1, fused=True)
+
+
+def inv32_fused(x, *, n: int, p: int, scale: int = 1, n_h: int = N_H):
+    return _hybrid32_run(x, n, p, n_h, "inv", scale, fused=True)
+
+
+class _Engine32:
+    """Dispatch shim with the mxu32 engine surface (single u32 arrays)."""
+
+    def __init__(self, fused: bool):
+        self._fused = fused
+
+    def fwd(self, x, *, n, p):
+        return _hybrid32_run(x, n, p, N_H, "fwd", 1, self._fused)
+
+    def inv(self, x, *, n, p, scale=1):
+        return _hybrid32_run(x, n, p, N_H, "inv", scale, self._fused)
+
+
+engine32_fused = _Engine32(fused=True)
+engine32_xla = _Engine32(fused=False)

@@ -100,6 +100,68 @@ def test_hybrid_fused_pallas_interpret_matches_xla(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def _regime_prime32(n, tag):
+    return {
+        "lt30": lambda: lpap(2 * n, 1, 0, 1 << 30),
+        "lt31": lambda: lpap(2 * n, 1, 1 << 30, 1 << 31),
+        "gen": lambda: lpap(2 * n, 1, 1 << 31, (1 << 32) - 1),
+    }[tag]()
+
+
+@pytest.mark.parametrize("tag", ["lt30", "lt31", "gen"])
+@pytest.mark.parametrize("n,n_h", [(512, 256), (512, 128), (1024, 256)])
+def test_hybrid32_fwd_inv_match_mxu32(rng, n, n_h, tag):
+    from concrete_ntt_tpu.ops import mxu32, stagesplit as ss
+
+    p = _regime_prime32(n, tag)
+    x = jnp.asarray(rng.integers(0, 1 << 32, (2, n), dtype=np.uint64)
+                    .astype(np.uint32))  # any u32 representative
+    np.testing.assert_array_equal(
+        np.asarray(ss.fwd32(x, n=n, p=p, n_h=n_h)),
+        np.asarray(mxu32.fwd(x, n=n, p=p)),
+    )
+    s = pow(n, p - 2, p) * pow(2, 32, p) % p
+    np.testing.assert_array_equal(
+        np.asarray(ss.inv32(x, n=n, p=p, scale=s, n_h=n_h)),
+        np.asarray(mxu32.inv(x, n=n, p=p, scale=s)),
+    )
+
+
+def test_dispatch_hybrid32_at_2pow15_matches_direct(rng, monkeypatch):
+    from concrete_ntt_tpu import prime32
+
+    n = 1 << 15
+    p = _regime_prime32(n, "lt30")
+    x = rng.integers(0, p, (1, n), dtype=np.uint32)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "0")
+    plan = prime32.Plan.new(n, p)
+    want_f = np.asarray(plan.fwd(x))
+    want_i = np.asarray(plan.inv(x))
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "auto")
+    np.testing.assert_array_equal(np.asarray(plan.fwd(x)), want_f)
+    np.testing.assert_array_equal(np.asarray(plan.inv(x)), want_i)
+
+
+def test_hybrid32_fused_pallas_interpret_matches_xla(rng, monkeypatch):
+    from concrete_ntt_tpu.ops import stagesplit as ss
+
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    n = 1 << 15
+    p = _regime_prime32(n, "lt30")
+    x = jnp.asarray(rng.integers(0, 1 << 32, (2, n), dtype=np.uint64)
+                    .astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(ss.fwd32_fused(x, n=n, p=p)),
+        np.asarray(ss.fwd32(x, n=n, p=p)),
+    )
+    s = pow(n, p - 2, p) * pow(2, 32, p) % p
+    np.testing.assert_array_equal(
+        np.asarray(ss.inv32_fused(x, n=n, p=p, scale=s)),
+        np.asarray(ss.inv32(x, n=n, p=p, scale=s)),
+    )
+
+
 def test_hybrid_roundtrip_is_n_times_x(rng):
     n, n_h = 1024, 256
     p = _regime_prime(n, "p50")

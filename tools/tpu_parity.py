@@ -171,6 +171,26 @@ def main():
     # --- stage-split hybrid tier (prefix stages + blockwise 2^14 kernels) -
     from concrete_ntt_tpu.ops import stagesplit
 
+    for tag, p in P32_REGIMES if not args.quick else P32_REGIMES[:1]:
+        n = 32768
+        x = mk32(8, n)
+        s = pow(n, p - 2, p) * pow(2, 32, p) % p
+        check(f"hybrid32.fwd n={n} {tag}",
+              run(stagesplit.fwd32_fused, x, n=n, p=p),
+              run(mxu32.fwd, x, n=n, p=p))
+        check(f"hybrid32.inv n={n} {tag}",
+              run(stagesplit.inv32_fused, x, n=n, p=p, scale=s),
+              run(mxu32.inv, x, n=n, p=p, scale=s))
+    if not args.quick:
+        from concrete_ntt_tpu.tables import primes32_ext
+
+        for n in (1 << 16, 1 << 17):
+            p = primes32_ext()[0]
+            x = mk32(8, n)
+            check(f"hybrid32.fwd n={n} ext",
+                  run(stagesplit.fwd32_fused, x, n=n, p=p),
+                  run(mxu32.fwd, x, n=n, p=p))
+
     hyb_shapes = [(32768, tag, p) for tag, p in P64_REGIMES]
     if not args.quick:
         # beyond-reference sizes need primes ≡ 1 mod 2n (Goldilocks' 2-adic
