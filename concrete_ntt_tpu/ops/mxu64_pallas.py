@@ -437,8 +437,9 @@ def _sc_canonical(v0, v1, v2, sc):
 _SC_FIELDS = ("p", "c64", "c64_shoup", "p_neginv", "barrett", "two_p")
 
 
-def _scal_vec64(n: int, p: int) -> list[int]:
-    tbl = mxu64._tables(n, p)
+def _scal_vec64(n: int, p: int, tbl: dict | None = None) -> list[int]:
+    if tbl is None:
+        tbl = mxu64._tables(n, p)
     vals = (p, tbl["c64"], tbl["c64_shoup"], tbl["p_neginv"], tbl["barrett"],
             2 * p)
     out = []
@@ -460,9 +461,10 @@ def multi_applicable(n: int, primes) -> bool:
     )
 
 
-def _multi_tables64(n: int, primes: tuple, scales: tuple):
-    t0 = mxu64._tables(n, primes[0])
-    n1, n2 = t0["n1"], t0["n2"]
+def _multi_tables64(n: int, primes: tuple, scales: tuple,
+                    hyb: tuple | None = None):
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
     stk = lambda xs: np.ascontiguousarray(np.stack(xs, axis=0))
     p1f, c1f, p2f, c2f = [], [], [], []
     p1i, c1i, p2i, c2i = [], [], [], []
@@ -474,18 +476,29 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple):
         assert (1 << 33) < p < (1 << 62), (
             "channel-grid tables need p in (2^33, 2^62)"
         )
-        tbl = mxu64._tables(n, p)
+        if hyb is None:
+            tbl = mxu64._tables(n, p)
+        else:
+            # stage-split hybrid block tables (ops/stagesplit.py)
+            from . import stagesplit
+
+            tbl = stagesplit._dev64(hyb[0], p, n)["blocks"][hyb[1]]
         p1f.append(tbl["A"][0]); c1f.append(tbl["A"][1])
         p2f.append(tbl["F"][0]); c2f.append(tbl["F"][1])
         p1i.append(tbl["G"][0]); c1i.append(tbl["G"][1])
-        m2 = (
-            tbl["Ainv"]
-            if scales[ch] % p == 1
-            else mxu64._scaled_ainv_planes(n, p, scales[ch] % p)
-        )
+        if scales[ch] % p == 1:
+            m2 = tbl["Ainv"]
+        elif hyb is None:
+            m2 = mxu64._scaled_ainv_planes(n, p, scales[ch] % p)
+        else:
+            from . import stagesplit
+
+            m2 = stagesplit._scaled_ainv_blocks64(
+                hyb[0], p, n, scales[ch] % p
+            )[hyb[1]]
         p2i.append(m2[0]); c2i.append(m2[1])
         dm.append(tbl["d"]); em.append(tbl["e"])
-        scal.append(_scal_vec64(n, p) + [0, 0, 0, 0])  # pad to 16
+        scal.append(_scal_vec64(n, p, tbl) + [0, 0, 0, 0])  # pad to 16
     n_tab = len(dm[0])  # 10 ("shoup" scale mode — guaranteed by p < 2^62)
     return {
         "n1": n1, "n2": n2,
@@ -499,8 +512,9 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple):
 
 @lru_cache(maxsize=64)
 def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
-                        pointwise: bool, interp: bool = False):
-    tabs = _multi_tables64(n, primes, scales)
+                        pointwise: bool, interp: bool = False,
+                        hyb: tuple | None = None, perch_fwd: bool = False):
+    tabs = _multi_tables64(n, primes, scales, hyb)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
     planes1, cvec1, planes2, cvec2, mont = tabs[direction]
@@ -521,7 +535,10 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
 
         if direction == "fwd":
             v = tuple(
-                jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
+                jnp.swapaxes(
+                    (r[0] if perch_fwd else r[:]).reshape(_B_TILE, n1, n2), 1, 2
+                )
+                for r in x_refs
             )
             big = mxu64._dot(mxu64._digit_cat(v, m1.shape[0] // n1), m1)
             y = _sc_scaled_epilogue(
@@ -570,7 +587,13 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
                 for _ in range(n_mont)
             ],
         ]
-        if direction == "fwd":
+        if direction == "fwd" and perch_fwd:
+            in_specs = [
+                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_in)
+            ]
+        elif direction == "fwd":
             in_specs = [
                 pl.BlockSpec((_B_TILE, n), lambda i, c: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -633,27 +656,45 @@ def fwd_multi(limbs: tuple, primes: tuple):
     return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
 
 
-def inv_multi(x_lo, x_hi, primes: tuple, scales: tuple):
+def fwd_multi_perchannel64(x_lo, x_hi, primes: tuple,
+                           hyb: tuple | None = None):
+    """Per-channel-input channel-grid forward: [C, B, n] limb pairs (any
+    u64 representatives, e.g. the stage-split hybrid's per-channel prefix
+    outputs) -> (lo, hi) of [C, B, n] canonical NTT-domain residues."""
+    n = x_lo.shape[-1]
+    b = x_lo.shape[-2]
+    pad = (-b) % _B_TILE
+    call = _build_multi_call64(
+        n, tuple(primes), "fwd", (1,) * len(primes), False, interpret_mode(),
+        hyb, True,
+    )
+    lo, hi = call(_pad_cb(x_lo, pad), _pad_cb(x_hi, pad))
+    return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
+
+
+def inv_multi(x_lo, x_hi, primes: tuple, scales: tuple,
+              hyb: tuple | None = None):
     """All channels' scaled inverse NTTs in one kernel: [C, B, n] limb pairs
     (any u64 representatives) -> standard-order canonical pairs."""
     n = x_lo.shape[-1]
     b = x_lo.shape[-2]
     pad = (-b) % _B_TILE
     call = _build_multi_call64(
-        n, tuple(primes), "inv", tuple(scales), False, interpret_mode()
+        n, tuple(primes), "inv", tuple(scales), False, interpret_mode(), hyb
     )
     lo, hi = call(_pad_cb(x_lo, pad), _pad_cb(x_hi, pad))
     return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
 
 
-def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
+def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple,
+                        hyb: tuple | None = None):
     """All channels' pointwise Montgomery product + scaled inverse in one
     kernel: fl, fr = (lo, hi) pairs of [C, B, n] -> standard-order pairs."""
     n = fl[0].shape[-1]
     b = fl[0].shape[-2]
     pad = (-b) % _B_TILE
     call = _build_multi_call64(
-        n, tuple(primes), "inv", tuple(scales), True, interpret_mode()
+        n, tuple(primes), "inv", tuple(scales), True, interpret_mode(), hyb
     )
     lo, hi = call(
         _pad_cb(fl[0], pad), _pad_cb(fl[1], pad),

@@ -297,12 +297,18 @@ def try_fwd64_wide_all(parts, plans):
         return None
     if len(parts) > 2:
         return None  # u128 inputs keep the explicit split path
-    # pair=False: CRT channels keep the channel-grid kernels until the
-    # stage-split hybrid grows a channel-grid variant (measured A/B pending)
     eng = _mxu64_impl(n, plans[0].p, pair=False)
 
     limbs = tuple(parts) if len(parts) == 2 else (parts[0], jnp.zeros_like(parts[0]))
     primes = tuple(pl.p for pl in plans)
+    if _pallas_impls_runnable() and all(
+        _hybrid64_wanted(n, pl.p) for pl in plans
+    ):
+        from . import stagesplit
+
+        if stagesplit.multi_hybrid_applicable64(n, primes):
+            lo, hi = stagesplit.fwd_multi_hybrid64(limbs, primes, n=n)
+            return [(lo[i], hi[i]) for i in range(len(plans))]
     if hasattr(eng, "fwd_multi") and eng.multi_applicable(n, primes):
         lo, hi = eng.fwd_multi(limbs, primes)
         return [(lo[i], hi[i]) for i in range(len(plans))]
@@ -321,6 +327,17 @@ def try_pointwise_inv64_all(fl, fr, plans):
     scales = tuple(
         pow(n, pl.p - 2, pl.p) * pow(2, 64, pl.p) % pl.p for pl in plans
     )
+    if _pallas_impls_runnable() and all(
+        _hybrid64_wanted(n, pl.p) for pl in plans
+    ):
+        from . import stagesplit
+
+        if stagesplit.multi_hybrid_applicable64(n, primes):
+            lo, hi = stagesplit.pointwise_inv_multi_hybrid64(
+                (fl[..., 0], fl[..., 1]), (fr[..., 0], fr[..., 1]),
+                primes, scales, n=n,
+            )
+            return [(lo[i], hi[i]) for i in range(len(plans))]
     if hasattr(eng, "pointwise_inv_multi") and eng.multi_applicable(n, primes):
         lo, hi = eng.pointwise_inv_multi(
             (fl[..., 0], fl[..., 1]), (fr[..., 0], fr[..., 1]), primes, scales

@@ -435,6 +435,118 @@ engine64_xla = _Engine64(fused=False)
 
 
 # ---------------------------------------------------------------------------
+# Channel-grid hybrid (Plan52 CRT channels at n > 2^14): per-channel prefix
+# stages + per-block channel-grid kernels with block tables
+# ---------------------------------------------------------------------------
+
+
+def multi_hybrid_applicable64(n: int, primes, n_h: int = N_H) -> bool:
+    from . import mxu64_pallas
+
+    return n > n_h and mxu64_pallas.multi_applicable(n_h, primes) and all(
+        applicable64(n, p, n_h) for p in primes
+    )
+
+
+def _prefix_fwd_per_channel64(limbs, primes, n, n_h):
+    """ℓ forward stages per channel on the SHARED u64 input (the butterfly
+    twiddles differ per channel) -> stacked [C, B, n] limb pair."""
+    parts = []
+    for p in primes:
+        dv = _dev64(n, p, n_h)
+        x = tuple(jnp.asarray(a) for a in limbs)
+        for s in range(dv["l"]):
+            x = _stage_fwd64(x, dv["fwd_tw"][s], dv["sc"])
+        parts.append(x)
+    return (
+        jnp.stack([c[0] for c in parts], axis=0),
+        jnp.stack([c[1] for c in parts], axis=0),
+    )
+
+
+def _suffix_inv_per_channel64(lo, hi, primes, n, n_h):
+    out_lo, out_hi = [], []
+    for ch, p in enumerate(primes):
+        dv = _dev64(n, p, n_h)
+        x = (lo[ch], hi[ch])
+        for s in range(dv["l"] - 1, -1, -1):
+            x = _stage_inv64(x, dv["inv_tw"][s], dv["sc"])
+        out_lo.append(x[0])
+        out_hi.append(x[1])
+    return jnp.stack(out_lo, axis=0), jnp.stack(out_hi, axis=0)
+
+
+def fwd_multi_hybrid64(limbs: tuple, primes: tuple, *, n: int,
+                       n_h: int = N_H):
+    """Hybrid channel-grid forward: (lo, hi) [B, n] shared limb pair ->
+    (lo, hi) of [C, B, n] canonical NTT-domain residues (matches
+    mxu64_pallas.fwd_multi bit-for-bit)."""
+    from . import mxu64_pallas
+
+    lo, hi = _prefix_fwd_per_channel64(limbs, primes, n, n_h)
+    C, b = lo.shape[0], lo.shape[1]
+    nb = n // n_h
+    lo = lo.reshape(C, b, nb, n_h)
+    hi = hi.reshape(C, b, nb, n_h)
+    outs = [
+        mxu64_pallas.fwd_multi_perchannel64(
+            lo[:, :, i, :], hi[:, :, i, :], tuple(primes), hyb=(n, i)
+        )
+        for i in range(nb)
+    ]
+    return (
+        jnp.concatenate([o[0] for o in outs], axis=-1),
+        jnp.concatenate([o[1] for o in outs], axis=-1),
+    )
+
+
+def inv_multi_hybrid64(x_lo, x_hi, primes: tuple, scales: tuple, *, n: int,
+                       n_h: int = N_H):
+    """Hybrid channel-grid scaled inverse (matches mxu64_pallas.inv_multi)."""
+    from . import mxu64_pallas
+
+    C, b = x_lo.shape[0], x_lo.shape[1]
+    nb = n // n_h
+    lo = jnp.asarray(x_lo).reshape(C, b, nb, n_h)
+    hi = jnp.asarray(x_hi).reshape(C, b, nb, n_h)
+    outs = [
+        mxu64_pallas.inv_multi(
+            lo[:, :, i, :], hi[:, :, i, :], tuple(primes), tuple(scales),
+            hyb=(n, i),
+        )
+        for i in range(nb)
+    ]
+    cat_lo = jnp.concatenate([o[0] for o in outs], axis=-1)
+    cat_hi = jnp.concatenate([o[1] for o in outs], axis=-1)
+    return _suffix_inv_per_channel64(cat_lo, cat_hi, primes, n, n_h)
+
+
+def pointwise_inv_multi_hybrid64(fl, fr, primes: tuple, scales: tuple, *,
+                                 n: int, n_h: int = N_H):
+    """Hybrid pointwise-Montgomery + scaled inverse (matches
+    mxu64_pallas.pointwise_inv_multi): the pointwise product is elementwise
+    in the NTT domain, so it runs inside each block's kernel."""
+    from . import mxu64_pallas
+
+    C, b = fl[0].shape[0], fl[0].shape[1]
+    nb = n // n_h
+    rs = lambda a: jnp.asarray(a).reshape(C, b, nb, n_h)
+    fl = (rs(fl[0]), rs(fl[1]))
+    fr = (rs(fr[0]), rs(fr[1]))
+    outs = [
+        mxu64_pallas.pointwise_inv_multi(
+            (fl[0][:, :, i], fl[1][:, :, i]),
+            (fr[0][:, :, i], fr[1][:, :, i]),
+            tuple(primes), tuple(scales), hyb=(n, i),
+        )
+        for i in range(nb)
+    ]
+    cat_lo = jnp.concatenate([o[0] for o in outs], axis=-1)
+    cat_hi = jnp.concatenate([o[1] for o in outs], axis=-1)
+    return _suffix_inv_per_channel64(cat_lo, cat_hi, primes, n, n_h)
+
+
+# ---------------------------------------------------------------------------
 # 32-bit hybrid (prime32): same host build, u32 stage butterflies
 # ---------------------------------------------------------------------------
 

@@ -162,6 +162,65 @@ def test_hybrid32_fused_pallas_interpret_matches_xla(rng, monkeypatch):
     )
 
 
+def test_channel_hybrid64_fwd_matches_per_channel(rng, monkeypatch):
+    """Hybrid channel-grid forward (per-channel prefix + per-block grid
+    kernels, interpret mode) vs the XLA engine per channel."""
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    from concrete_ntt_tpu.ops import stagesplit as ss
+    from concrete_ntt_tpu.tables import PRIMES52
+
+    n = 1 << 15
+    primes = tuple(PRIMES52[:3])
+    limbs = _limbs(rng, 2, n)
+    lo, hi = ss.fwd_multi_hybrid64(limbs, primes, n=n)
+    for i, p in enumerate(primes):
+        want = mxu64.fwd(limbs, n=n, p=p)
+        np.testing.assert_array_equal(np.asarray(lo[i]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(hi[i]), np.asarray(want[1]))
+
+
+def test_channel_hybrid64_pointwise_inv_matches_per_channel(rng, monkeypatch):
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    from concrete_ntt_tpu.ops import stagesplit as ss
+    from concrete_ntt_tpu.ops.u32 import mont_mul64, mont_neginv64
+    from concrete_ntt_tpu.tables import PRIMES52
+
+    n = 1 << 15
+    primes = tuple(PRIMES52[:3])
+    scales = tuple(pow(n, p - 2, p) * pow(2, 64, p) % p for p in primes)
+    mk = lambda: jnp.asarray(
+        rng.integers(0, 1 << 32, (3, 2, n), dtype=np.uint64).astype(np.uint32)
+    )
+    fl, fr = (mk(), mk()), (mk(), mk())
+    lo, hi = ss.pointwise_inv_multi_hybrid64(fl, fr, primes, scales, n=n)
+    for i, p in enumerate(primes):
+        prod = mont_mul64(
+            (fl[0][i], fl[1][i]), (fr[0][i], fr[1][i]), p, mont_neginv64(p)
+        )
+        want = mxu64.inv(prod, n=n, p=p, scale=scales[i])
+        np.testing.assert_array_equal(np.asarray(lo[i]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(hi[i]), np.asarray(want[1]))
+
+
+def test_native52_polymul_hybrid_dispatch_bit_exact(rng, monkeypatch):
+    """End-to-end native64.Plan52 polymul at n=2^15 through the dispatch
+    layer: hybrid on vs off (interpret mode), bit-identical."""
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    from concrete_ntt_tpu import native64
+
+    n = 1 << 15
+    plan = native64.Plan52.try_new(n)
+    assert plan is not None
+    a = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "0")
+    want = np.asarray(plan.negacyclic_polymul(a, b))
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "auto")
+    got = np.asarray(plan.negacyclic_polymul(a, b))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_hybrid_roundtrip_is_n_times_x(rng):
     n, n_h = 1024, 256
     p = _regime_prime(n, "p50")

@@ -209,6 +209,37 @@ def main():
                    run(stagesplit.inv64_fused, limbs, n=n, p=p, scale=s),
                    run(mxu64.inv, limbs, n=n, p=p, scale=s))
 
+    # --- channel-grid hybrid (Plan52 channels at n = 2^15) ----------------
+    if not args.quick:
+        n = 1 << 15
+        pr52 = tuple(PRIMES52[:3])
+        limbs = (mk32(8, n), mk32(8, n))
+        lo, hi = run(
+            lambda l: stagesplit.fwd_multi_hybrid64(l, pr52, n=n), limbs
+        )
+        for i, p in enumerate(pr52):
+            check_pair(f"hybrid64.fwd_multi n={n} ch{i}", (lo[i], hi[i]),
+                       run(mxu64.fwd, limbs, n=n, p=p))
+        scales52 = tuple(pow(n, p - 2, p) * pow(2, 64, p) % p for p in pr52)
+        fl = (mk32(3, 8, n), mk32(3, 8, n))
+        fr = (mk32(3, 8, n), mk32(3, 8, n))
+        lo, hi = run(
+            lambda a, b: stagesplit.pointwise_inv_multi_hybrid64(
+                a, b, pr52, scales52, n=n
+            ),
+            fl, fr,
+        )
+        for i, p in enumerate(pr52):
+            want = run(
+                lambda al, ah, bl, bh, p=p, i=i: mxu64.inv(
+                    mont_mul64((al, ah), (bl, bh), p, mont_neginv64(p)),
+                    n=n, p=p, scale=scales52[i],
+                ),
+                fl[0][i], fl[1][i], fr[0][i], fr[1][i],
+            )
+            check_pair(f"hybrid64.pointwise_inv_multi n={n} ch{i}",
+                       (lo[i], hi[i]), want)
+
     # --- beyond-reference sizes (≡ 1 mod 2^18 family, n = 2^16 / 2^17) ----
     if not args.quick:
         from concrete_ntt_tpu.tables import primes32_ext
