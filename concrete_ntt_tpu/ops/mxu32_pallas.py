@@ -243,18 +243,34 @@ def _dot8(xd, planes):
     )
 
 
-def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
+def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple,
+                  hyb: tuple | None = None):
     """Stacked per-channel tables for the channel-grid kernels."""
-    t0 = mxu32._mxu_tables(n, primes[0])
-    n1, n2 = t0["n1"], t0["n2"]
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
     p1f, c1f, p2f, c2f, dgf = [], [], [], [], []
     p1i, c1i, p2i, c2i, dgi = [], [], [], [], []
     scal = []
     for ch, p in enumerate(primes):
         assert (1 << 29) < p < (1 << 30), "channel-grid kernels need 30-bit primes"
-        tbl = mxu32._mxu_tables(n, p)
+        if hyb is None:
+            tbl = mxu32._mxu_tables(n, p)
+            mat1 = (
+                mxu32._wide_col_planes(n, p, n_limbs)
+                if n_limbs > 1
+                else tbl["A"]
+            )
+        else:
+            # stage-split hybrid block tables (ops/stagesplit.py)
+            from . import stagesplit
+
+            tbl = stagesplit._dev32(hyb[0], p, n)["blocks"][hyb[1]]
+            mat1 = (
+                stagesplit._wide_block_planes32(hyb[0], p, n, hyb[1], n_limbs)
+                if n_limbs > 1
+                else tbl["A"]
+            )
         assert tbl["chain"] == (4 * p, 2 * p, p), "unexpected reduction chain"
-        mat1 = mxu32._wide_col_planes(n, p, n_limbs) if n_limbs > 1 else tbl["A"]
         p1f.append(mat1[0])
         c1f.append(mat1[1])
         p2f.append(tbl["F"][0])
@@ -262,11 +278,16 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
         dgf.append(tbl["d"])
         p1i.append(tbl["G"][0])
         c1i.append(tbl["G"][1])
-        mat2 = (
-            tbl["Ainv"]
-            if scales[ch] == 1
-            else mxu32._scaled_ainv_planes(n, p, scales[ch] % p)
-        )
+        if scales[ch] == 1:
+            mat2 = tbl["Ainv"]
+        elif hyb is None:
+            mat2 = mxu32._scaled_ainv_planes(n, p, scales[ch] % p)
+        else:
+            from . import stagesplit
+
+            mat2 = stagesplit._scaled_ainv_blocks32(
+                hyb[0], p, n, scales[ch] % p
+            )[hyb[1]]
         p2i.append(mat2[0])
         c2i.append(mat2[1])
         dgi.append(tbl["e"])
@@ -300,11 +321,12 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple):
 @lru_cache(maxsize=64)
 def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                       scales: tuple, pointwise: bool, interp: bool = False,
-                      perch_in: bool = False):
-    """perch_in=True (fwd only, n_limbs=1): the operand is [C, B, n] with a
-    DIFFERENT u32 residue array per channel (e.g. the Bounded centered
-    representation, product.rs:303-322) instead of one shared limb array."""
-    tabs = _multi_tables(n, primes, n_limbs, scales)
+                      perch_in: bool = False, hyb: tuple | None = None):
+    """perch_in=True (fwd only): the operand is [C, B, n] per limb with a
+    DIFFERENT residue array per channel (e.g. the Bounded centered
+    representation, product.rs:303-322, or the stage-split hybrid's prefix
+    outputs) instead of one shared limb array."""
+    tabs = _multi_tables(n, primes, n_limbs, scales, hyb)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
     planes1, cvec1, planes2, cvec2, diag = tabs[direction]
@@ -471,11 +493,12 @@ def fwd_wide_multi(limbs: tuple, primes: tuple):
     return out[:, :b] if pad else out
 
 
-def fwd_multi_perchannel(x, primes: tuple):
+def fwd_multi_perchannel(x, primes: tuple, hyb: tuple | None = None):
     """All CRT channels' forward NTTs in one kernel with a DIFFERENT residue
     array per channel: x [C, B, n] (any u32 representatives) -> [C, B, n]
     canonical NTT-domain residues. Used by the Bounded product fwd, whose
-    centered residues differ per channel (product.rs:303-322)."""
+    centered residues differ per channel (product.rs:303-322), and the
+    stage-split hybrid's per-channel prefix outputs."""
     n = x.shape[-1]
     b = x.shape[-2]
     pad = (-b) % _B_TILE
@@ -483,13 +506,33 @@ def fwd_multi_perchannel(x, primes: tuple):
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
         n, tuple(primes), 1, "fwd", (1,) * len(primes), False,
-        interpret_mode(), True,
+        interpret_mode(), True, hyb,
     )
     out = call(x)
     return out[:, :b] if pad else out
 
 
-def inv_multi(x, primes: tuple, scales: tuple):
+def fwd_wide_multi_perchannel(x_lo, x_hi, primes: tuple,
+                              hyb: tuple | None = None):
+    """Per-channel-input wide forward: (lo, hi) [C, B, n] u64-representative
+    limb pairs per channel (the hybrid's prefix outputs mod each 30-bit p)
+    -> [C, B, n] canonical NTT-domain residues. The residue reduction stays
+    fused in the 8-operand-plane column matmul."""
+    n = x_lo.shape[-1]
+    b = x_lo.shape[-2]
+    pad = (-b) % _B_TILE
+    if pad:
+        x_lo = jnp.pad(x_lo, ((0, 0), (0, pad), (0, 0)))
+        x_hi = jnp.pad(x_hi, ((0, 0), (0, pad), (0, 0)))
+    call = _build_multi_call(
+        n, tuple(primes), 2, "fwd", (1,) * len(primes), False,
+        interpret_mode(), True, hyb,
+    )
+    out = call(x_lo, x_hi)
+    return out[:, :b] if pad else out
+
+
+def inv_multi(x, primes: tuple, scales: tuple, hyb: tuple | None = None):
     """All channels' scaled inverse NTTs in one kernel:
     x [C, B, n] (any u32 representatives) -> [C, B, n] standard order."""
     n = x.shape[-1]
@@ -498,13 +541,15 @@ def inv_multi(x, primes: tuple, scales: tuple):
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
-        n, tuple(primes), 1, "inv", tuple(scales), False, interpret_mode()
+        n, tuple(primes), 1, "inv", tuple(scales), False, interpret_mode(),
+        False, hyb,
     )
     out = call(x)
     return out[:, :b] if pad else out
 
 
-def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
+def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple,
+                        hyb: tuple | None = None):
     """All channels' pointwise Montgomery product + scaled inverse NTT in one
     kernel: fl, fr [C, B, n] -> [C, B, n] standard-order residues."""
     n = fl.shape[-1]
@@ -514,7 +559,8 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple):
         fl = jnp.pad(fl, ((0, 0), (0, pad), (0, 0)))
         fr = jnp.pad(fr, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
-        n, tuple(primes), 1, "inv", tuple(scales), True, interpret_mode()
+        n, tuple(primes), 1, "inv", tuple(scales), True, interpret_mode(),
+        False, hyb,
     )
     out = call(fl, fr)
     return out[:, :b] if pad else out

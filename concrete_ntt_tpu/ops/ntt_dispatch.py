@@ -77,6 +77,21 @@ def _mxu_impl(n):
     return mxu32
 
 
+
+def _hybrid32_multi_wanted(n, plans) -> bool:
+    """Channel-grid stage-split hybrid for native-plan prime32 channels
+    above 2^14 (same CONCRETE_NTT_TPU_HYBRID knob)."""
+    if os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto") == "0":
+        return False
+    if not _pallas_impls_runnable():
+        return False
+    from . import stagesplit
+
+    return stagesplit.multi_hybrid_applicable32(
+        n, tuple(pl.p for pl in plans)
+    ) and all(stagesplit.applicable32(n, pl.p, pl.variant) for pl in plans)
+
+
 def try_fwd32_wide_all(parts, plans):
     """Fused residue-split + forward NTT for a CRT plan's prime32 channels.
 
@@ -89,6 +104,13 @@ def try_fwd32_wide_all(parts, plans):
     n = parts[0].shape[-1]
     if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
         return None
+    if len(parts) <= 2 and _hybrid32_multi_wanted(n, plans):
+        from . import stagesplit
+
+        stacked = stagesplit.fwd_wide_multi_hybrid32(
+            tuple(parts), tuple(pl.p for pl in plans), n=n
+        )
+        return [stacked[i] for i in range(len(plans))]
     eng = _mxu_impl(n)
     if hasattr(eng, "fwd_wide_multi") and all(
         (1 << 29) < pl.p < (1 << 30) for pl in plans
@@ -109,6 +131,13 @@ def try_fwd32_perchannel_all(stacked, plans):
     n = stacked.shape[-1]
     if not all(_mxu_wanted(n, pl.p, pl.variant) for pl in plans):
         return None
+    if _hybrid32_multi_wanted(n, plans):
+        from . import stagesplit
+
+        out = stagesplit.fwd_perchannel_multi_hybrid32(
+            stacked, tuple(pl.p for pl in plans), n=n
+        )
+        return [out[i] for i in range(len(plans))]
     eng = _mxu_impl(n)
     if hasattr(eng, "fwd_multi_perchannel") and all(
         (1 << 29) < pl.p < (1 << 30) for pl in plans
@@ -134,6 +163,13 @@ def try_pointwise_inv32_all(fl, fr, plans):
     scales = tuple(
         pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p for pl in plans
     )
+    if _hybrid32_multi_wanted(n, plans):
+        from . import stagesplit
+
+        out = stagesplit.pointwise_inv_multi_hybrid32(
+            fl, fr, tuple(pl.p for pl in plans), scales, n=n
+        )
+        return [out[i] for i in range(len(plans))]
     if hasattr(eng, "pointwise_inv_multi") and all(
         (1 << 29) < pl.p < (1 << 30) for pl in plans
     ):
@@ -161,6 +197,13 @@ def try_inv32_all(stacked, plans, scales=None):
     eng = _mxu_impl(n)
     if scales is None:
         scales = (1,) * len(plans)
+    if _hybrid32_multi_wanted(n, plans):
+        from . import stagesplit
+
+        out = stagesplit.inv_multi_hybrid32(
+            stacked, tuple(pl.p for pl in plans), tuple(scales), n=n
+        )
+        return [out[i] for i in range(len(plans))]
     if hasattr(eng, "inv_multi") and all(
         (1 << 29) < pl.p < (1 << 30) for pl in plans
     ):
@@ -191,8 +234,19 @@ def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
     from .u32 import mulhi_u32, mulwide_u32
 
     primes = tuple(pl.p for pl in plans)
-    fl = eng.fwd_wide_multi(tuple(parts_l), primes)
-    fr = eng.fwd_wide_multi(tuple(parts_r[:1]) if rhs_binary else tuple(parts_r), primes)
+    use_hyb = len(parts_l) <= 2 and _hybrid32_multi_wanted(n, plans)
+    if use_hyb:
+        from . import stagesplit
+
+        fl = stagesplit.fwd_wide_multi_hybrid32(tuple(parts_l), primes, n=n)
+        fr = stagesplit.fwd_wide_multi_hybrid32(
+            tuple(parts_r[:1]) if rhs_binary else tuple(parts_r), primes, n=n
+        )
+    else:
+        fl = eng.fwd_wide_multi(tuple(parts_l), primes)
+        fr = eng.fwd_wide_multi(
+            tuple(parts_r[:1]) if rhs_binary else tuple(parts_r), primes
+        )
     c = len(primes)
     pv = jnp.asarray(np.array(primes, dtype=np.uint32)).reshape(c, 1, 1)
     nv = jnp.asarray(
@@ -210,6 +264,10 @@ def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
     scales = tuple(
         pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p for pl in plans
     )
+    if use_hyb:
+        from . import stagesplit
+
+        return stagesplit.inv_multi_hybrid32(t, primes, scales, n=n)
     return eng.inv_multi(t, primes, scales)
 
 

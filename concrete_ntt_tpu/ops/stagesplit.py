@@ -769,3 +769,177 @@ class _Engine32:
 
 engine32_fused = _Engine32(fused=True)
 engine32_xla = _Engine32(fused=False)
+
+
+# ---------------------------------------------------------------------------
+# 32-bit channel-grid hybrid (native-plan prime32 channels at n > 2^14)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _wide_block_planes32(n: int, p: int, n_h: int, block: int, n_limbs: int):
+    """Per-block column planes consuming u{32*n_limbs} limb tuples (the
+    fused residue split, 4*n_limbs operand planes)."""
+    from . import mxu32
+
+    ops = _hybrid_ops(n, p, n_h)
+    return mxu32._prep(ops[f"A{block}"].T, p, n_eplanes=4 * n_limbs)
+
+
+@lru_cache(maxsize=16)
+def _dev32w(n: int, p: int, n_h: int):
+    """u64-limb-pair prefix-stage tables for a 30-bit channel prime: the
+    prefix butterflies run in 64-bit limb algebra mod p (shoup lazy — any
+    p < 2^62), so the residue split stays fused into the block matmuls."""
+    ops = _hybrid_ops(n, p, n_h)
+    sc = {
+        "p": p,
+        "mont": False,
+        "neginv": 0,
+        "c64": const64_like((1 << 64) % p),
+    }
+    return {"sc": sc, "fwd_tw": _stage_tabs(ops["tw"], p, False)}
+
+
+def multi_hybrid_applicable32(n: int, primes, n_h: int = N_H) -> bool:
+    from . import mxu32_pallas
+
+    return (
+        n > n_h
+        and mxu32_pallas.fused_applicable(n_h)
+        and all((1 << 29) < p < (1 << 30) for p in primes)
+        and (n & (n - 1)) == 0
+    )
+
+
+def _prefix_fwd_channels32(x_per_ch, primes, n, n_h):
+    """ℓ u32 forward stages per channel on per-channel residue arrays
+    [C, B, n] -> [C, B, n]."""
+    outs = []
+    for ch, p in enumerate(primes):
+        dv = _dev32(n, p, n_h)
+        x = x_per_ch[ch]
+        for s in range(dv["l"]):
+            x = _stage_fwd32(x, dv["fwd_tw"][s], dv["sc"])
+        outs.append(x)
+    return jnp.stack(outs, axis=0)
+
+
+def fwd_wide_multi_hybrid32(limbs: tuple, primes: tuple, *, n: int,
+                            n_h: int = N_H):
+    """Hybrid channel-grid forward for native plans: shared limb tuple
+    (1 = u32 values, 2 = u64) -> [C, B, n] canonical NTT-domain residues
+    (matches mxu32_pallas.fwd_wide_multi bit-for-bit)."""
+    from . import mxu32_pallas
+
+    C = len(primes)
+    nb = n // n_h
+    if len(limbs) == 1:
+        # u32 values are valid residue representatives for every channel
+        x = jnp.broadcast_to(
+            jnp.asarray(limbs[0])[None], (C,) + limbs[0].shape
+        )
+        x = _prefix_fwd_channels32(x, primes, n, n_h)
+        b = x.shape[1]
+        x = x.reshape(C, b, nb, n_h)
+        outs = [
+            mxu32_pallas.fwd_multi_perchannel(
+                x[:, :, i, :], tuple(primes), hyb=(n, i)
+            )
+            for i in range(nb)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+    assert len(limbs) == 2, "u128 operands keep the direct path"
+    los, his = [], []
+    for p in primes:
+        dv = _dev32w(n, p, n_h)
+        x = tuple(jnp.asarray(a) for a in limbs)
+        for s in range(len(dv["fwd_tw"])):
+            x = _stage_fwd64(x, dv["fwd_tw"][s], dv["sc"])
+        los.append(x[0])
+        his.append(x[1])
+    lo = jnp.stack(los, axis=0)
+    hi = jnp.stack(his, axis=0)
+    b = lo.shape[1]
+    lo = lo.reshape(C, b, nb, n_h)
+    hi = hi.reshape(C, b, nb, n_h)
+    outs = [
+        mxu32_pallas.fwd_wide_multi_perchannel(
+            lo[:, :, i, :], hi[:, :, i, :], tuple(primes), hyb=(n, i)
+        )
+        for i in range(nb)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def fwd_perchannel_multi_hybrid32(x, primes: tuple, *, n: int,
+                                  n_h: int = N_H):
+    """Hybrid per-channel-input forward (Bounded product path)."""
+    from . import mxu32_pallas
+
+    C = len(primes)
+    nb = n // n_h
+    xc = _prefix_fwd_channels32(
+        [jnp.asarray(x)[ch] for ch in range(C)], primes, n, n_h
+    )
+    b = xc.shape[1]
+    xc = xc.reshape(C, b, nb, n_h)
+    outs = [
+        mxu32_pallas.fwd_multi_perchannel(
+            xc[:, :, i, :], tuple(primes), hyb=(n, i)
+        )
+        for i in range(nb)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _suffix_inv_channels32(x, primes, n, n_h):
+    outs = []
+    for ch, p in enumerate(primes):
+        dv = _dev32(n, p, n_h)
+        y = x[ch]
+        for s in range(dv["l"] - 1, -1, -1):
+            y = _stage_inv32(y, dv["inv_tw"][s], dv["sc"])
+        outs.append(y)
+    return jnp.stack(outs, axis=0)
+
+
+def inv_multi_hybrid32(x, primes: tuple, scales: tuple, *, n: int,
+                       n_h: int = N_H):
+    """Hybrid channel-grid scaled inverse (matches mxu32_pallas.inv_multi)."""
+    from . import mxu32_pallas
+
+    C = len(primes)
+    b = x.shape[-2]
+    nb = n // n_h
+    xb = jnp.asarray(x).reshape(C, b, nb, n_h)
+    outs = [
+        mxu32_pallas.inv_multi(
+            xb[:, :, i, :], tuple(primes), tuple(scales), hyb=(n, i)
+        )
+        for i in range(nb)
+    ]
+    cat = jnp.concatenate(outs, axis=-1)
+    return _suffix_inv_channels32(cat, primes, n, n_h)
+
+
+def pointwise_inv_multi_hybrid32(fl, fr, primes: tuple, scales: tuple, *,
+                                 n: int, n_h: int = N_H):
+    """Hybrid pointwise-Montgomery + scaled inverse (matches
+    mxu32_pallas.pointwise_inv_multi)."""
+    from . import mxu32_pallas
+
+    C = len(primes)
+    b = fl.shape[-2]
+    nb = n // n_h
+    flb = jnp.asarray(fl).reshape(C, b, nb, n_h)
+    frb = jnp.asarray(fr).reshape(C, b, nb, n_h)
+    outs = [
+        mxu32_pallas.pointwise_inv_multi(
+            flb[:, :, i, :], frb[:, :, i, :], tuple(primes), tuple(scales),
+            hyb=(n, i),
+        )
+        for i in range(nb)
+    ]
+    cat = jnp.concatenate(outs, axis=-1)
+    return _suffix_inv_channels32(cat, primes, n, n_h)

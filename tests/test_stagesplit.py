@@ -221,6 +221,58 @@ def test_native52_polymul_hybrid_dispatch_bit_exact(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_channel_hybrid32_wide_fwd_matches_per_channel(rng, monkeypatch):
+    """32-bit channel hybrid: u64-pair prefix per channel (split stays
+    fused) + per-block wide perchannel kernels vs mxu32.fwd_wide."""
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    from concrete_ntt_tpu.ops import mxu32, stagesplit as ss
+    from concrete_ntt_tpu.tables import PRIMES32
+
+    n = 1 << 15
+    primes = tuple(PRIMES32[:3])
+    limbs = _limbs(rng, 2, n)
+    out = ss.fwd_wide_multi_hybrid32(limbs, primes, n=n)
+    for i, p in enumerate(primes):
+        want = mxu32.fwd_wide(limbs, n=n, p=p)
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(want))
+
+
+def test_channel_hybrid32_inv_matches_per_channel(rng, monkeypatch):
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    from concrete_ntt_tpu.ops import mxu32, stagesplit as ss
+    from concrete_ntt_tpu.tables import PRIMES32
+
+    n = 1 << 15
+    primes = tuple(PRIMES32[:3])
+    scales = tuple(pow(n, p - 2, p) * pow(2, 32, p) % p for p in primes)
+    x = jnp.asarray(
+        rng.integers(0, 1 << 32, (3, 2, n), dtype=np.uint64).astype(np.uint32)
+    )
+    out = ss.inv_multi_hybrid32(x, primes, scales, n=n)
+    for i, p in enumerate(primes):
+        want = mxu32.inv(x[i], n=n, p=p, scale=scales[i])
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(want))
+
+
+def test_native32ch_polymul_hybrid_dispatch_bit_exact(rng, monkeypatch):
+    """End-to-end native64.Plan32 (the flagship family) polymul at n=2^15
+    through the stacked dispatch fast path: hybrid on vs off, bit-exact."""
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    from concrete_ntt_tpu import native64
+
+    n = 1 << 15
+    plan = native64.Plan32.try_new(n)
+    assert plan is not None
+    a = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "0")
+    want = np.asarray(plan.negacyclic_polymul(a, b))
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "auto")
+    got = np.asarray(plan.negacyclic_polymul(a, b))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_hybrid_roundtrip_is_n_times_x(rng):
     n, n_h = 1024, 256
     p = _regime_prime(n, "p50")

@@ -209,6 +209,27 @@ def main():
                    run(stagesplit.inv64_fused, limbs, n=n, p=p, scale=s),
                    run(mxu64.inv, limbs, n=n, p=p, scale=s))
 
+    # --- 32-bit channel-grid hybrid (native-plan channels at n = 2^15) ----
+    if not args.quick:
+        n = 1 << 15
+        pr32 = PRIMES32[:5]
+        limbs = (mk32(8, n), mk32(8, n))
+        multi = np.asarray(run(
+            lambda l: stagesplit.fwd_wide_multi_hybrid32(l, pr32, n=n), limbs
+        ))
+        for i, p in enumerate(pr32[:2]):
+            check(f"hybrid32.fwd_wide_multi n={n} ch{i}", multi[i],
+                  run(mxu32.fwd_wide, limbs, n=n, p=p))
+        scales32 = tuple(pow(n, p - 2, p) * pow(2, 32, p) % p for p in pr32)
+        xs = mk32(5, 8, n)
+        mi = np.asarray(run(
+            lambda v: stagesplit.inv_multi_hybrid32(v, pr32, scales32, n=n),
+            xs,
+        ))
+        for i, p in enumerate(pr32[:2]):
+            check(f"hybrid32.inv_multi n={n} ch{i}", mi[i],
+                  run(mxu32.inv, xs[i], n=n, p=p, scale=scales32[i]))
+
     # --- channel-grid hybrid (Plan52 channels at n = 2^15) ----------------
     if not args.quick:
         n = 1 << 15
