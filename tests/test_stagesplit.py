@@ -100,6 +100,63 @@ def test_hybrid_fused_pallas_interpret_matches_xla(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.parametrize(
+    "p",
+    [
+        (1 << 64) - (1 << 32) + 1,  # gl: c64 = 2^32-1, double wrap ~2^-32
+        1125899904679937,           # ~2^50
+        (1 << 62) - 57,             # large c64
+        (1 << 63) + 29,             # p > 2^63 (c64 = 2^64 - p)
+    ],
+)
+def test_rep_safe_add_sub64_adversarial(p):
+    """_add_rep64/_sub_rep64 wrap corrections at the exact boundaries the
+    random tests essentially never hit (second-wrap probability is
+    c64/2^64 — 2^-32 for Goldilocks). Exhaustive over a boundary grid."""
+    from concrete_ntt_tpu.ops.stagesplit import _add_rep64, _sub_rep64
+    from concrete_ntt_tpu.ops.u32 import const64_like
+
+    c64i = (1 << 64) % p
+    c64 = const64_like(c64i)
+    M = (1 << 64) - 1
+    boundary = [0, 1, c64i - 1, c64i, c64i + 1, p - 1, p, p + 1,
+                M - c64i - 1, M - c64i, M - c64i + 1, M - 1, M]
+    boundary = sorted({v & M for v in boundary})
+    a = np.array([x for x in boundary for _ in boundary], dtype=np.uint64)
+    b = np.array([y for _ in boundary for y in boundary], dtype=np.uint64)
+    pair = lambda v: (
+        jnp.asarray((v & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((v >> np.uint64(32)).astype(np.uint32)),
+    )
+    join = lambda t: np.asarray(t[0]).astype(np.uint64) | (
+        np.asarray(t[1]).astype(np.uint64) << np.uint64(32)
+    )
+    got_add = join(_add_rep64(pair(a), pair(b), c64))
+    got_sub = join(_sub_rep64(pair(a), pair(b), c64))
+    for i in range(len(a)):
+        assert int(got_add[i]) % p == (int(a[i]) + int(b[i])) % p
+        assert int(got_sub[i]) % p == (int(a[i]) - int(b[i])) % p
+
+
+@pytest.mark.parametrize("p", [1073479681, 2147352577, 4293918721])
+def test_rep_safe_add_sub32_adversarial(p):
+    from concrete_ntt_tpu.ops.stagesplit import _add_rep32, _sub_rep32
+
+    c32i = (1 << 32) % p
+    c32 = np.uint32(c32i)
+    M = (1 << 32) - 1
+    boundary = [0, 1, c32i - 1, c32i, c32i + 1, p - 1, p, p + 1,
+                M - c32i - 1, M - c32i, M - c32i + 1, M - 1, M]
+    boundary = sorted({v & M for v in boundary})
+    a = np.array([x for x in boundary for _ in boundary], dtype=np.uint32)
+    b = np.array([y for _ in boundary for y in boundary], dtype=np.uint32)
+    got_add = np.asarray(_add_rep32(jnp.asarray(a), jnp.asarray(b), c32))
+    got_sub = np.asarray(_sub_rep32(jnp.asarray(a), jnp.asarray(b), c32))
+    for i in range(len(a)):
+        assert int(got_add[i]) % p == (int(a[i]) + int(b[i])) % p
+        assert int(got_sub[i]) % p == (int(a[i]) - int(b[i])) % p
+
+
 def _regime_prime32(n, tag):
     return {
         "lt30": lambda: lpap(2 * n, 1, 0, 1 << 30),
