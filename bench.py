@@ -61,8 +61,14 @@ def _probe_device(timeout_s: float = 180.0):
         import jax
         import jax.numpy as jnp
 
-        x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16))
-        x.block_until_ready()
+        # array creation INSIDE the jit: eager op streams can wedge the axon
+        # session permanently (CLAUDE.md rule 2 — one graph, one round trip)
+        @jax.jit
+        def f():
+            o = jnp.ones((128, 128), jnp.bfloat16)
+            return o @ o
+
+        f().block_until_ready()
         ok.set()
 
     t = threading.Thread(target=probe, daemon=True)

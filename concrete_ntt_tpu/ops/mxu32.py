@@ -181,6 +181,15 @@ def _col_matrix_inv(n, n1, n2, inv_twid, p):
 # ---------------------------------------------------------------------------
 
 
+def four_step_factors(n: int) -> tuple[int, int]:
+    """The canonical four-step split n = n1·n2 (n1 = 2^(log2n//2)) — the
+    ONE definition every table builder and kernel index map must share
+    (mxu32/mxu64, their Pallas twins, ops/stagesplit)."""
+    log2n = n.bit_length() - 1
+    n1 = 1 << (log2n // 2)
+    return n1, n // n1
+
+
 def _n_dplanes32(p: int) -> int:
     """Matrix digit planes: centered entries |v| <= p/2 need 4 balanced
     radix-256 digits while p/2 <= 127*(256^4-1)/255, else 5 (primes near
@@ -261,9 +270,7 @@ def _operators(n: int, p: int):
 
 
 def _build_operators(n: int, p: int):
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    n2 = n // n1
+    n1, n2 = four_step_factors(n)
     from .. import _native
 
     ops = _native.fourstep_build(n, p, n1)
@@ -345,9 +352,8 @@ def _prep(M: np.ndarray, p: int, n_eplanes: int = 4):
 
 @lru_cache(maxsize=64)
 def _mxu_tables(n: int, p: int):
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    return _mxu_tables_from_ops(n1, n // n1, p, _operators(n, p))
+    n1, n2 = four_step_factors(n)
+    return _mxu_tables_from_ops(n1, n2, p, _operators(n, p))
 
 
 def _mxu_tables_from_ops(n1: int, n2: int, p: int, ops: dict):

@@ -169,9 +169,8 @@ def inv(x, *, n: int, p: int, scale: int = 1, hyb: tuple | None = None):
 
 def fused_applicable(n: int) -> bool:
     """Mosaic reshapes/transposes need both four-step factors >= 128 lanes."""
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    return n1 >= 128 and (n // n1) >= 128
+    n1, n2 = mxu32.four_step_factors(n)
+    return n1 >= 128 and n2 >= 128
 
 
 # ---------------------------------------------------------------------------
@@ -246,8 +245,7 @@ def _dot8(xd, planes):
 def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple,
                   hyb: tuple | None = None):
     """Stacked per-channel tables for the channel-grid kernels."""
-    n1 = 1 << ((n.bit_length() - 1) // 2)
-    n2 = n // n1
+    n1, n2 = mxu32.four_step_factors(n)
     p1f, c1f, p2f, c2f, dgf = [], [], [], [], []
     p1i, c1i, p2i, c2i, dgi = [], [], [], [], []
     scal = []

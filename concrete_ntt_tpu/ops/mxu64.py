@@ -50,6 +50,12 @@ from .u32 import (
     sub64,
 )
 
+def four_step_factors(n: int) -> tuple[int, int]:
+    from .mxu32 import four_step_factors as f
+
+    return f(n)
+
+
 def _n_dplanes(p: int) -> int:
     """Matrix digit planes: smallest D whose balanced radix-256 digits cover
     the centered entries |v| <= p/2 (max positive = 127*(256^D-1)/255).
@@ -131,9 +137,11 @@ def _operators(n: int, p: int):
 
 
 def _build_operators(n: int, p: int, n1: int | None = None):
+    from .mxu32 import four_step_factors
+
     log2n = n.bit_length() - 1
     if n1 is None:
-        n1 = 1 << (log2n // 2)
+        n1, _ = four_step_factors(n)
     n2 = n // n1
     from .. import _native
 
@@ -281,9 +289,10 @@ def _scale_tables64(W: np.ndarray, p: int):
 
 @lru_cache(maxsize=32)
 def _tables(n: int, p: int):
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    return _tables_from_ops(n1, n // n1, p, _operators(n, p))
+    from .mxu32 import four_step_factors
+
+    n1, n2 = four_step_factors(n)
+    return _tables_from_ops(n1, n2, p, _operators(n, p))
 
 
 def _tables_from_ops(n1: int, n2: int, p: int, ops: dict):

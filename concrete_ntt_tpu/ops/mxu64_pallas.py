@@ -24,9 +24,8 @@ _B_TILE = 8
 
 
 def fused_applicable(n: int) -> bool:
-    log2n = n.bit_length() - 1
-    n1 = 1 << (log2n // 2)
-    return n1 >= 128 and (n // n1) >= 128
+    n1, n2 = mxu64.four_step_factors(n)
+    return n1 >= 128 and n2 >= 128
 
 
 @lru_cache(maxsize=128)
@@ -456,15 +455,21 @@ def _read_sc(sc_ref):
 
 
 def multi_applicable(n: int, primes) -> bool:
-    return fused_applicable(n) and all(
-        (1 << 33) < p < (1 << 62) for p in primes  # "shoup" scale mode
+    return (
+        fused_applicable(n)
+        and all((1 << 33) < p < (1 << 62) for p in primes)  # "shoup" mode
+        # plane diet: table shapes are p-dependent (digit/operand plane
+        # counts); the stacked channel grid needs them uniform, or np.stack
+        # fails on mixed-magnitude prime sets
+        and len(
+            {(mxu64._n_dplanes(p), mxu64._n_eplanes_lazy(p)) for p in primes}
+        ) == 1
     )
 
 
 def _multi_tables64(n: int, primes: tuple, scales: tuple,
                     hyb: tuple | None = None):
-    n1 = 1 << ((n.bit_length() - 1) // 2)
-    n2 = n // n1
+    n1, n2 = mxu64.four_step_factors(n)
     stk = lambda xs: np.ascontiguousarray(np.stack(xs, axis=0))
     p1f, c1f, p2f, c2f = [], [], [], []
     p1i, c1i, p2i, c2i = [], [], [], []

@@ -83,7 +83,7 @@ def _hybrid32_multi_wanted(n, plans) -> bool:
     above 2^14 (same CONCRETE_NTT_TPU_HYBRID knob)."""
     if os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto") == "0":
         return False
-    if not _pallas_impls_runnable():
+    if not _pallas_impls_runnable() or not _hybrid_deployable():
         return False
     from . import stagesplit
 
@@ -292,13 +292,41 @@ def _fused64_profitable(n: int, p: int) -> bool:
     return not (n >= 32768 and mxu64._n_dplanes(p) >= 9)
 
 
+def hybrid_hw_verified_marker() -> str:
+    from .table_cache import _cache_dir
+
+    d = _cache_dir() or "/tmp"
+    return os.path.join(d, "hybrid_hw_verified_v1")
+
+
+def _hybrid_deployable() -> bool:
+    """Mosaic miscompiles are real (CLAUDE.md): the hybrid's kernel table
+    configurations must pass tools/tpu_parity.py on REAL hardware before
+    the tier serves default traffic there. The parity run drops a marker
+    file on an all-PASS run; until then 'auto' keeps the direct tiers on
+    real TPU. Interpret/CPU runs have no Mosaic compiler in the loop and
+    always qualify; CONCRETE_NTT_TPU_HYBRID=1 forces the tier on (the
+    parity/measurement runs themselves)."""
+    env = os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto")
+    if env == "1":
+        return True
+    from .pallas_env import interpret_mode
+
+    if interpret_mode() or not _on_tpu():
+        return True
+    return os.path.exists(hybrid_hw_verified_marker())
+
+
 def _hybrid64_wanted(n: int, p: int) -> bool:
     """Stage-split hybrid above the 2^14 MXU sweet spot: ℓ butterfly
     prefix stages + 2^ℓ blockwise 2^14 four-steps cut the matmul MACs from
     n·(n1+n2) to n·256 (ops/stagesplit.py; MXU_ENGINE.md §7b).
-    CONCRETE_NTT_TPU_HYBRID=0 disables, =1 forces; default auto."""
+    CONCRETE_NTT_TPU_HYBRID=0 disables, =1 forces; default auto (gated on
+    the hardware parity marker — see _hybrid_deployable)."""
     env = os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto")
     if env == "0":
+        return False
+    if not _hybrid_deployable():
         return False
     from . import stagesplit
 
@@ -417,9 +445,11 @@ def try_pointwise_inv64_all(fl, fr, plans):
 
 def _hybrid32_wanted(n: int, p: int, variant: str) -> bool:
     """Stage-split hybrid above the 2^14 MXU sweet spot (see
-    _hybrid64_wanted; same CONCRETE_NTT_TPU_HYBRID knob)."""
+    _hybrid64_wanted; same CONCRETE_NTT_TPU_HYBRID knob + marker gate)."""
     env = os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto")
     if env == "0":
+        return False
+    if not _hybrid_deployable():
         return False
     from . import stagesplit
 

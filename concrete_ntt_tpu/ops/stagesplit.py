@@ -135,8 +135,7 @@ def _build_hybrid_ops(n: int, p: int, n_h: int):
 
     l = (n // n_h).bit_length() - 1
     nb = 1 << l
-    n1h = 1 << ((n_h.bit_length() - 1) // 2)
-    n2 = n_h // n1h
+    n1h, n2 = mxu64.four_step_factors(n_h)
     par = mxu64._build_operators(n, p, n1=nb * n1h)
     twid, inv_twid = negacyclic_twiddles(p, n)
     Mf, Mi = _cross_mats(l, twid, inv_twid, p)
@@ -272,8 +271,7 @@ def _dev64(n: int, p: int, n_h: int):
     ops = _hybrid_ops(n, p, n_h)
     l = (n // n_h).bit_length() - 1
     nb = 1 << l
-    n1h = 1 << ((n_h.bit_length() - 1) // 2)
-    n2 = n_h // n1h
+    n1h, n2 = mxu64.four_step_factors(n_h)
     mont = p >= (1 << 62)
     blocks = tuple(
         mxu64._tables_from_ops(
@@ -642,8 +640,7 @@ def _dev32(n: int, p: int, n_h: int):
     ops = _hybrid_ops(n, p, n_h)
     l = (n // n_h).bit_length() - 1
     nb = 1 << l
-    n1h = 1 << ((n_h.bit_length() - 1) // 2)
-    n2 = n_h // n1h
+    n1h, n2 = mxu64.four_step_factors(n_h)
     mont = p >= (1 << 31)
     blocks = tuple(
         mxu32._mxu_tables_from_ops(

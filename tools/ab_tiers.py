@@ -76,14 +76,23 @@ def run_ab(n: int, p: int, label: str):
     hi = jnp.asarray((x >> 32).astype(np.uint32))
 
     tiers = _tiers(n, p)
+    # calibrate chain length per tier for >= 40 ms of device work (CLAUDE.md:
+    # short chains leave tunnel jitter, ~ms, in the measurement)
+    lengths = {}
+    for name, fn in tiers.items():
+        t0 = chain_time(lambda limbs: fn(limbs), (lo, hi), length=32, reps=1)
+        lengths[name] = max(32, min(1 << 14, int(0.04 / max(t0, 1e-7))))
     best = {k: float("inf") for k in tiers}
     for rep in range(REPS):
         for name, fn in tiers.items():
-            t = chain_time(lambda limbs: fn(limbs), (lo, hi), length=32, reps=1)
+            t = chain_time(
+                lambda limbs: fn(limbs), (lo, hi), length=lengths[name],
+                reps=1,
+            )
             ns = t * 1e9 / BATCH
             best[name] = min(best[name], ns)
             print(f"rep{rep} {label} {name}: {ns:.1f} ns/poly "
-                  f"(best {best[name]:.1f})", flush=True)
+                  f"(best {best[name]:.1f}, k={lengths[name]})", flush=True)
     order = sorted(best, key=best.get)
     print(f"RESULT {label} n={n} p={p}: " +
           " ".join(f"{k}={best[k]:.1f}" for k in order), flush=True)

@@ -443,6 +443,19 @@ def main():
         print(f"\n{len(FAILURES)}/{N_CHECKS} FAILURES ({dt:.0f}s)", flush=True)
         sys.exit(1)
     print(f"\nall {N_CHECKS} parity checks passed ({dt:.0f}s)", flush=True)
+    # An all-PASS FULL run on real hardware certifies the stage-split
+    # hybrid's kernel configurations: drop the marker that lets the 'auto'
+    # dispatch tier serve them on TPU (ntt_dispatch._hybrid_deployable).
+    import jax
+
+    if not args.quick and jax.devices()[0].platform == "tpu":
+        from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
+
+        path = hybrid_hw_verified_marker()
+        with open(path, "w") as f:
+            f.write(f"all {N_CHECKS} checks passed in {dt:.0f}s\n")
+        print(f"hybrid hardware-verification marker written: {path}",
+              flush=True)
 
 
 if __name__ == "__main__":
