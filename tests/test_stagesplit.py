@@ -157,6 +157,29 @@ def test_rep_safe_add_sub32_adversarial(p):
         assert int(got_sub[i]) % p == (int(a[i]) - int(b[i])) % p
 
 
+def test_hybrid_hw_marker_gate(monkeypatch, tmp_path):
+    """On real TPU the 'auto' hybrid tier requires the hardware parity
+    marker; interpret/CPU and HYBRID=1 bypass it (ntt_dispatch)."""
+    from concrete_ntt_tpu.ops import ntt_dispatch as nd
+
+    monkeypatch.delenv("CONCRETE_NTT_TPU_HYBRID", raising=False)
+    monkeypatch.delenv("CONCRETE_NTT_TPU_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setenv("CONCRETE_NTT_TPU_CACHE_DIR", str(tmp_path))
+    # CPU: no Mosaic in the loop -> deployable
+    assert nd._hybrid_deployable()
+    # pretend we are on hardware: marker absent -> NOT deployable
+    monkeypatch.setattr(nd, "_on_tpu", lambda: True)
+    assert not nd._hybrid_deployable()
+    # forcing overrides
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "1")
+    assert nd._hybrid_deployable()
+    monkeypatch.delenv("CONCRETE_NTT_TPU_HYBRID")
+    # the parity run's marker flips it on
+    with open(nd.hybrid_hw_verified_marker(), "w") as f:
+        f.write("test\n")
+    assert nd._hybrid_deployable()
+
+
 def _regime_prime32(n, tag):
     return {
         "lt30": lambda: lpap(2 * n, 1, 0, 1 << 30),
