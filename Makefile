@@ -4,7 +4,14 @@
 PY ?= python
 
 .PHONY: test test-fast bench bench-full bench-headline scaling native clean \
-	baseline lint parity
+	baseline lint parity ci
+
+# one-command release gate: lint -> full CPU suite (incl. interpret-mode
+# kernel parity) -> if a real TPU answers a bounded probe, hardware parity
+# (writes the hybrid hardware-verification marker on all-PASS) + headline
+# bench. TPU legs self-skip with a reason when the tunnel is down.
+ci:
+	$(PY) tools/ci_gate.py
 
 # static-analysis gate, warnings-as-errors (clippy -D warnings parity,
 # reference Makefile:51-63; this image has no ruff/mypy, so the gate is the

@@ -396,6 +396,53 @@ def _large_n_benches(want=lambda bid: True):
 
             yield f"native64-32-{n}", step(), (lhs, rhs), BATCH
 
+    # north-star single-chip shape (BASELINE.json configs[4] minus the pod):
+    # full-width u128 polymul at N=2^16 over the ext-prime channels
+    if want(f"native128-32-{n}"):
+        from concrete_ntt_tpu import native128
+        from concrete_ntt_tpu.ops.u32 import np_u128_to_limbs
+
+        plan = native128.Plan32.try_new(n)
+        if plan is not None:
+            def mk128():
+                vals = rng.integers(0, 1 << 62, (BATCH, n), dtype=np.uint64)
+                return np.stack(
+                    [np_u128_to_limbs([int(v) for v in row]) for row in vals]
+                )
+
+            lhs, rhs = mk128(), mk128()
+
+            def step128(pl=plan):
+                def fn(carry):
+                    a, b = carry
+                    return (pl.negacyclic_polymul(a, b), a)
+
+                return fn
+
+            yield f"native128-32-{n}", step128(), (lhs, rhs), BATCH
+
+    # fused 2-channel product plan beyond the reference's size cap (the
+    # tfhe-rs hot-path shape at 2^16; 2^15 rides the --full grid already)
+    if want(f"product-2xu32-{n}"):
+        from concrete_ntt_tpu import product
+        from concrete_ntt_tpu.tables import primes32_ext
+
+        f1, f2 = primes32_ext()[0], primes32_ext()[1]
+        m = f1 * f2
+        plan = product.Plan.try_new(n, m, (f1, f2))
+        if plan is not None:
+            a = np_u64_to_limbs(rng.integers(0, m, (BATCH, n), dtype=np.uint64))
+            b = np_u64_to_limbs(rng.integers(0, m, (BATCH, n), dtype=np.uint64))
+
+            def step_prod(pl=plan):
+                def fn(carry):
+                    x, y = carry
+                    return (pl.negacyclic_polymul(x, y), x)
+
+                return fn
+
+            yield f"product-2xu32-{n}", step_prod(), (a, b), BATCH
+
 
 _HBM_BYTES_PER_SEC = 1.2e12  # deliberately above v5e peak (~0.8 TB/s)
 

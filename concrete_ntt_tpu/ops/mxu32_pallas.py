@@ -26,14 +26,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import mxu32
-from .pallas_env import interpret_mode
+from .pallas_env import batch_tile, interpret_mode
 
-_B_TILE = 8
+_B_TILE = 8  # proven batch-tile extent; B < 8 may use sub-tiles (batch_tile)
 
 
 @lru_cache(maxsize=256)
 def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
-                interp: bool = False, hyb: tuple | None = None):
+                interp: bool = False, hyb: tuple | None = None, bt: int = 8):
     if hyb is None:
         tbl = mxu32._mxu_tables(n, p)
     else:
@@ -83,7 +83,7 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
             # [Bt, n1, n2] -> transpose -> contract n1 -> correct -> transpose
             # -> contract n2 -> flat (bit-reversed NTT layout)
             v = tuple(
-                jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
+                jnp.swapaxes(r[:].reshape(bt, n1, n2), 1, 2) for r in x_refs
             )
             big = mxu32._dot_planes(v if n_limbs > 1 else v[0], m1)
             lo, hi = mxu32._combine(big, m1)
@@ -92,11 +92,11 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
             big = mxu32._dot_planes(y, m2)
             lo, hi = mxu32._combine(big, m2)
             out = mxu32._epilogue_canonical(lo, hi, tbl, p=p)
-            out_ref[:] = out.reshape(_B_TILE, n)
+            out_ref[:] = out.reshape(bt, n)
         else:
             # [Bt, n1, n2] -> contract n2 -> correct -> transpose ->
             # contract n1 -> transpose back -> flat (standard order)
-            v = x_refs[0][:].reshape(_B_TILE, n1, n2)
+            v = x_refs[0][:].reshape(bt, n1, n2)
             big = mxu32._dot_planes(v, m1)
             lo, hi = mxu32._combine(big, m1)
             y = mxu32._epilogue_scaled_lazy(lo, hi, dg, tbl, p=p)
@@ -104,7 +104,7 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
             big = mxu32._dot_planes(y, m2)
             lo, hi = mxu32._combine(big, m2)
             out = mxu32._epilogue_canonical(lo, hi, tbl, p=p)
-            out_ref[:] = jnp.swapaxes(out, 1, 2).reshape(_B_TILE, n)
+            out_ref[:] = jnp.swapaxes(out, 1, 2).reshape(bt, n)
 
     const_specs = [
         pl.BlockSpec(planes1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -122,16 +122,16 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
         bsz = x_limbs[0].shape[0]
         return pl.pallas_call(
             kernel,
-            grid=(bsz // _B_TILE,),
+            grid=(bsz // bt,),
             in_specs=[
                 *const_specs,
                 *[
-                    pl.BlockSpec((_B_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                    pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
                     for _ in range(n_limbs)
                 ],
             ],
             out_specs=pl.BlockSpec(
-                (_B_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, n), jnp.uint32),
             compiler_params=pltpu.CompilerParams(
@@ -146,11 +146,12 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
 def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int,
          hyb: tuple | None = None):
     b = x_limbs[0].shape[0]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         x_limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in x_limbs)
     call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode(),
-                       hyb)
+                       hyb, bt)
     out = call(*x_limbs)
     return out[:b] if pad else out
 
@@ -319,7 +320,8 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple,
 @lru_cache(maxsize=64)
 def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                       scales: tuple, pointwise: bool, interp: bool = False,
-                      perch_in: bool = False, hyb: tuple | None = None):
+                      perch_in: bool = False, hyb: tuple | None = None,
+                      bt: int = 8):
     """perch_in=True (fwd only): the operand is [C, B, n] per limb with a
     DIFFERENT residue array per channel (e.g. the Bounded centered
     representation, product.rs:303-322, or the stage-split hybrid's prefix
@@ -348,7 +350,7 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
         if direction == "fwd":
             v = tuple(
                 jnp.swapaxes(
-                    (r[0] if perch_in else r[:]).reshape(_B_TILE, n1, n2), 1, 2
+                    (r[0] if perch_in else r[:]).reshape(bt, n1, n2), 1, 2
                 )
                 for r in x_refs
             )
@@ -360,20 +362,20 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
             y = jnp.swapaxes(y, 1, 2)
             lo, hi = _sc_combine(_dot8(_digit8(y), m2), cv2, n2)
             out = _sc_epilogue_canonical(lo, hi, sc)
-            out_ref[0] = out.reshape(_B_TILE, n)
+            out_ref[0] = out.reshape(bt, n)
         else:
             if pointwise:
-                a = x_refs[0][0].reshape(_B_TILE, n1, n2)
-                b = x_refs[1][0].reshape(_B_TILE, n1, n2)
+                a = x_refs[0][0].reshape(bt, n1, n2)
+                b = x_refs[1][0].reshape(bt, n1, n2)
                 v = _sc_mont_mul(a, b, sc_ref)
             else:
-                v = x_refs[0][0].reshape(_B_TILE, n1, n2)
+                v = x_refs[0][0].reshape(bt, n1, n2)
             lo, hi = _sc_combine(_dot8(_digit8(v), m1), cv1, n2)
             y = _sc_epilogue_scaled_lazy(lo, hi, dg, sc)
             y = jnp.swapaxes(y, 1, 2)
             lo, hi = _sc_combine(_dot8(_digit8(y), m2), cv2, n1)
             out = _sc_epilogue_canonical(lo, hi, sc)
-            out_ref[0] = jnp.swapaxes(out, 1, 2).reshape(_B_TILE, n)
+            out_ref[0] = jnp.swapaxes(out, 1, 2).reshape(bt, n)
 
     k1 = 4 * n_limbs * n1 if direction == "fwd" else 4 * n2
     o1 = n1 if direction == "fwd" else n2
@@ -383,7 +385,7 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
 
     def call(*xs):
         bsz = xs[0].shape[-2]
-        grid = (bsz // _B_TILE, C)
+        grid = (bsz // bt, C)
         const_specs = [
             pl.BlockSpec((1, 1, 6), lambda i, c: (c, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, k1, 4 * o1), lambda i, c: (c, 0, 0), memory_space=pltpu.VMEM),
@@ -397,17 +399,17 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
         ]
         if direction == "fwd" and perch_in:
             in_specs = [
-                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, bt, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
                 for _ in range(n_in)
             ]
         elif direction == "fwd":
             in_specs = [
-                pl.BlockSpec((_B_TILE, n), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((bt, n), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
                 for _ in range(n_in)
             ]
         else:
             in_specs = [
-                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((1, bt, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM)
                 for _ in range(n_in)
             ]
         scal6 = np.zeros((C, 1, 6), dtype=np.uint32)
@@ -418,7 +420,7 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
             grid=grid,
             in_specs=[*const_specs, *in_specs],
             out_specs=pl.BlockSpec(
-                (1, _B_TILE, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+                (1, bt, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((C, bsz, n), jnp.uint32),
             compiler_params=pltpu.CompilerParams(
@@ -480,12 +482,13 @@ def fwd_wide_multi(limbs: tuple, primes: tuple):
     [C, B, n] canonical NTT-domain residues."""
     n = limbs[0].shape[-1]
     b = limbs[0].shape[0]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in limbs)
     call = _build_multi_call(
         n, tuple(primes), len(limbs), "fwd", (1,) * len(primes), False,
-        interpret_mode(),
+        interpret_mode(), bt=bt,
     )
     out = call(*limbs)
     return out[:, :b] if pad else out
@@ -499,12 +502,13 @@ def fwd_multi_perchannel(x, primes: tuple, hyb: tuple | None = None):
     stage-split hybrid's per-channel prefix outputs."""
     n = x.shape[-1]
     b = x.shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
         n, tuple(primes), 1, "fwd", (1,) * len(primes), False,
-        interpret_mode(), True, hyb,
+        interpret_mode(), True, hyb, bt,
     )
     out = call(x)
     return out[:, :b] if pad else out
@@ -518,13 +522,14 @@ def fwd_wide_multi_perchannel(x_lo, x_hi, primes: tuple,
     fused in the 8-operand-plane column matmul."""
     n = x_lo.shape[-1]
     b = x_lo.shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         x_lo = jnp.pad(x_lo, ((0, 0), (0, pad), (0, 0)))
         x_hi = jnp.pad(x_hi, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
         n, tuple(primes), 2, "fwd", (1,) * len(primes), False,
-        interpret_mode(), True, hyb,
+        interpret_mode(), True, hyb, bt,
     )
     out = call(x_lo, x_hi)
     return out[:, :b] if pad else out
@@ -535,12 +540,13 @@ def inv_multi(x, primes: tuple, scales: tuple, hyb: tuple | None = None):
     x [C, B, n] (any u32 representatives) -> [C, B, n] standard order."""
     n = x.shape[-1]
     b = x.shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
         n, tuple(primes), 1, "inv", tuple(scales), False, interpret_mode(),
-        False, hyb,
+        False, hyb, bt,
     )
     out = call(x)
     return out[:, :b] if pad else out
@@ -552,13 +558,14 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple,
     kernel: fl, fr [C, B, n] -> [C, B, n] standard-order residues."""
     n = fl.shape[-1]
     b = fl.shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         fl = jnp.pad(fl, ((0, 0), (0, pad), (0, 0)))
         fr = jnp.pad(fr, ((0, 0), (0, pad), (0, 0)))
     call = _build_multi_call(
         n, tuple(primes), 1, "inv", tuple(scales), True, interpret_mode(),
-        False, hyb,
+        False, hyb, bt,
     )
     out = call(fl, fr)
     return out[:, :b] if pad else out
@@ -597,7 +604,7 @@ def _fused_pass_mat(n: int, p: int, which: str, n_limbs: int, scale: int,
 @lru_cache(maxsize=256)
 def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
                      n_limbs: int = 1, scale: int = 1, interp: bool = False,
-                     row_fuse: int = 1):
+                     row_fuse: int = 1, bt: int = 8):
     tbl = mxu32._mxu_tables(n, p)
     if row_fuse > 1:
         mat = _fused_pass_mat(n, p, which, n_limbs, scale, row_fuse)
@@ -635,7 +642,7 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
         o = planes.shape[1] // cvec.shape[0]  # D matrix digit planes
         return pl.pallas_call(
             kernel,
-            grid=(bsz // _B_TILE,),
+            grid=(bsz // bt,),
             in_specs=[
                 pl.BlockSpec(planes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(cvec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -649,7 +656,7 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
                 ],
                 *[
                     pl.BlockSpec(
-                        (_B_TILE, rows, k_lane),
+                        (bt, rows, k_lane),
                         lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     )
@@ -657,7 +664,7 @@ def _build_pass_call(n: int, p: int, which: str, scaled: bool, rows: int,
                 ],
             ],
             out_specs=pl.BlockSpec(
-                (_B_TILE, rows, o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (bt, rows, o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, rows, o), jnp.uint32),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -684,12 +691,13 @@ def pass_matmod(x, *, n: int, p: int, which: str, diag_slices=(),
         diag_slices = tuple(
             d.reshape(rows // f, -1) for d in diag_slices
         )
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         xs = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in xs)
     call = _build_pass_call(
         n, p, which, bool(diag_slices), rows // f, len(xs), scale % p,
-        interpret_mode(), f,
+        interpret_mode(), f, bt,
     )
     out = call(*xs, *diag_slices)
     out = out[:b] if pad else out

@@ -18,7 +18,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import mxu64
-from .pallas_env import interpret_mode
+from .pallas_env import batch_tile, interpret_mode
 
 _B_TILE = 8
 
@@ -30,7 +30,7 @@ def fused_applicable(n: int) -> bool:
 
 @lru_cache(maxsize=128)
 def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
-                interp: bool = False, hyb: tuple | None = None):
+                interp: bool = False, hyb: tuple | None = None, bt: int = 8):
     if hyb is None:
         tbl = mxu64._tables(n, p)
     else:
@@ -80,20 +80,20 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
 
         if direction == "fwd":
             v = tuple(
-                jnp.swapaxes(r[:].reshape(_B_TILE, n1, n2), 1, 2) for r in x_refs
+                jnp.swapaxes(r[:].reshape(bt, n1, n2), 1, 2) for r in x_refs
             )
             y = mxu64._matmod_scaled_lazy(v, m1, dg, tbl)
             y = mxu64._t(y)  # [Bt, n1, n2]
             lo, hi = mxu64._matmod_canonical(y, m2, tbl)
-            out_lo_ref[:] = lo.reshape(_B_TILE, n)
-            out_hi_ref[:] = hi.reshape(_B_TILE, n)
+            out_lo_ref[:] = lo.reshape(bt, n)
+            out_hi_ref[:] = hi.reshape(bt, n)
         else:
-            v = tuple(r[:].reshape(_B_TILE, n1, n2) for r in x_refs)
+            v = tuple(r[:].reshape(bt, n1, n2) for r in x_refs)
             y = mxu64._matmod_scaled_lazy(v, m1, dg, tbl)
             y = mxu64._t(y)  # [Bt, n2, n1]
             lo, hi = mxu64._matmod_canonical(y, m2, tbl)
-            out_lo_ref[:] = lo.transpose(0, 2, 1).reshape(_B_TILE, n)
-            out_hi_ref[:] = hi.transpose(0, 2, 1).reshape(_B_TILE, n)
+            out_lo_ref[:] = lo.transpose(0, 2, 1).reshape(bt, n)
+            out_hi_ref[:] = hi.transpose(0, 2, 1).reshape(bt, n)
 
     const_specs = [
         pl.BlockSpec(planes1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -111,18 +111,18 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
         bsz = x_limbs[0].shape[0]
         return pl.pallas_call(
             kernel,
-            grid=(bsz // _B_TILE,),
+            grid=(bsz // bt,),
             in_specs=[
                 *const_specs,
                 *[
                     pl.BlockSpec(
-                        (_B_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+                        (bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM
                     )
                     for _ in range(n_limbs)
                 ],
             ],
             out_specs=[
-                pl.BlockSpec((_B_TILE, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
                 for _ in range(2)
             ],
             out_shape=[jax.ShapeDtypeStruct((bsz, n), jnp.uint32) for _ in range(2)],
@@ -138,11 +138,12 @@ def _build_call(n: int, p: int, n_limbs: int, direction: str, scale: int,
 def _run(x_limbs: tuple, *, n: int, p: int, direction: str, scale: int,
          hyb: tuple | None = None):
     b = x_limbs[0].shape[0]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         x_limbs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in x_limbs)
     call = _build_call(n, p, len(x_limbs), direction, scale, interpret_mode(),
-                       hyb)
+                       hyb, bt)
     lo, hi = call(*x_limbs)
     if pad:
         lo, hi = lo[:b], hi[:b]
@@ -194,7 +195,8 @@ def _fused_pass_mat64(n: int, p: int, which: str, n_limbs: int, scale: int,
 
 @lru_cache(maxsize=128)
 def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
-                       n_limbs: int, scale: int, f: int, interp: bool):
+                       n_limbs: int, scale: int, f: int, interp: bool,
+                       bt: int = 8):
     tbl = mxu64._tables(n, p)
     planes, cvec = _fused_pass_mat64(n, p, which, n_limbs, scale, f)
     n_mont = len(tbl["d"]) if scaled else 0
@@ -229,7 +231,7 @@ def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
         bsz = xs[0].shape[0]
         return pl.pallas_call(
             kernel,
-            grid=(bsz // _B_TILE,),
+            grid=(bsz // bt,),
             in_specs=[
                 pl.BlockSpec(planes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(cvec.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -242,14 +244,14 @@ def _build_pass_call64(n: int, p: int, which: str, scaled: bool, rows: int,
                 ],
                 *[
                     pl.BlockSpec(
-                        (_B_TILE, rows, k_lane), lambda i: (i, 0, 0),
+                        (bt, rows, k_lane), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     )
                     for _ in range(n_limbs)
                 ],
             ],
             out_specs=[
-                pl.BlockSpec((_B_TILE, rows, o), lambda i: (i, 0, 0),
+                pl.BlockSpec((bt, rows, o), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(2)
             ],
@@ -278,12 +280,13 @@ def pass_matmod64(x_pair, *, n: int, p: int, which: str, mont_slices=(),
             raise ValueError(f"row_fuse={f} must divide rows={rows}")
         xs = tuple(a.reshape(b, rows // f, f * _k) for a in xs)
         mont_slices = tuple(m.reshape(rows // f, -1) for m in mont_slices)
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     if pad:
         xs = tuple(jnp.pad(a, ((0, pad), (0, 0), (0, 0))) for a in xs)
     call = _build_pass_call64(
         n, p, which, bool(mont_slices), rows // f, len(xs), scale % p, f,
-        interpret_mode(),
+        interpret_mode(), bt,
     )
     mont_slices = tuple(jnp.asarray(m) for m in mont_slices)
     lo, hi = call(*xs, *mont_slices)
@@ -518,7 +521,8 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple,
 @lru_cache(maxsize=64)
 def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
                         pointwise: bool, interp: bool = False,
-                        hyb: tuple | None = None, perch_fwd: bool = False):
+                        hyb: tuple | None = None, perch_fwd: bool = False,
+                        bt: int = 8):
     tabs = _multi_tables64(n, primes, scales, hyb)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
@@ -541,7 +545,7 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
         if direction == "fwd":
             v = tuple(
                 jnp.swapaxes(
-                    (r[0] if perch_fwd else r[:]).reshape(_B_TILE, n1, n2), 1, 2
+                    (r[0] if perch_fwd else r[:]).reshape(bt, n1, n2), 1, 2
                 )
                 for r in x_refs
             )
@@ -552,15 +556,15 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n1, n2]
             big = mxu64._dot(mxu64._digit_cat(y, m2.shape[0] // n2), m2)
             lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n2, cv2.shape[0]), sc)
-            out_lo_ref[0] = lo.reshape(_B_TILE, n)
-            out_hi_ref[0] = hi.reshape(_B_TILE, n)
+            out_lo_ref[0] = lo.reshape(bt, n)
+            out_hi_ref[0] = hi.reshape(bt, n)
         else:
             if pointwise:
-                a = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs[0:2])
-                b = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs[2:4])
+                a = tuple(r[0].reshape(bt, n1, n2) for r in x_refs[0:2])
+                b = tuple(r[0].reshape(bt, n1, n2) for r in x_refs[2:4])
                 v = _sc_mont_mul64(a, b, sc["p"], sc["p_neginv"])
             else:
-                v = tuple(r[0].reshape(_B_TILE, n1, n2) for r in x_refs)
+                v = tuple(r[0].reshape(bt, n1, n2) for r in x_refs)
             big = mxu64._dot(mxu64._digit_cat(v, m1.shape[0] // n2), m1)
             y = _sc_scaled_epilogue(
                 *mxu64._combine8(big, cv1, n2, cv1.shape[0]), tab, sc
@@ -568,14 +572,14 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             y = tuple(jnp.swapaxes(a, 1, 2) for a in y)  # [Bt, n2, n1]
             big = mxu64._dot(mxu64._digit_cat(y, m2.shape[0] // n1), m2)
             lo, hi = _sc_canonical(*mxu64._combine8(big, cv2, n1, cv2.shape[0]), sc)
-            out_lo_ref[0] = jnp.swapaxes(lo, 1, 2).reshape(_B_TILE, n)
-            out_hi_ref[0] = jnp.swapaxes(hi, 1, 2).reshape(_B_TILE, n)
+            out_lo_ref[0] = jnp.swapaxes(lo, 1, 2).reshape(bt, n)
+            out_hi_ref[0] = jnp.swapaxes(hi, 1, 2).reshape(bt, n)
 
     m_shape = mont[0].shape[1:]
 
     def call(*xs):
         bsz = xs[0].shape[-2]
-        grid = (bsz // _B_TILE, C)
+        grid = (bsz // bt, C)
         const_specs = [
             pl.BlockSpec((1, 1, 16), lambda i, c: (c, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1,) + planes1.shape[1:], lambda i, c: (c, 0, 0),
@@ -594,19 +598,19 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
         ]
         if direction == "fwd" and perch_fwd:
             in_specs = [
-                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0),
+                pl.BlockSpec((1, bt, n), lambda i, c: (c, i, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(n_in)
             ]
         elif direction == "fwd":
             in_specs = [
-                pl.BlockSpec((_B_TILE, n), lambda i, c: (i, 0),
+                pl.BlockSpec((bt, n), lambda i, c: (i, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(n_in)
             ]
         else:
             in_specs = [
-                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0),
+                pl.BlockSpec((1, bt, n), lambda i, c: (c, i, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(n_in)
             ]
@@ -616,7 +620,7 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             grid=grid,
             in_specs=[*const_specs, *in_specs],
             out_specs=[
-                pl.BlockSpec((1, _B_TILE, n), lambda i, c: (c, i, 0),
+                pl.BlockSpec((1, bt, n), lambda i, c: (c, i, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(2)
             ],
@@ -652,10 +656,12 @@ def fwd_multi(limbs: tuple, primes: tuple):
     limb pair -> (lo, hi) of [C, B, n] canonical NTT-domain residues."""
     n = limbs[0].shape[-1]
     b = limbs[0].shape[0]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     xs = tuple(_pad_b(a, pad) for a in limbs)
     call = _build_multi_call64(
-        n, tuple(primes), "fwd", (1,) * len(primes), False, interpret_mode()
+        n, tuple(primes), "fwd", (1,) * len(primes), False, interpret_mode(),
+        bt=bt,
     )
     lo, hi = call(*xs)
     return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
@@ -668,10 +674,11 @@ def fwd_multi_perchannel64(x_lo, x_hi, primes: tuple,
     outputs) -> (lo, hi) of [C, B, n] canonical NTT-domain residues."""
     n = x_lo.shape[-1]
     b = x_lo.shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     call = _build_multi_call64(
         n, tuple(primes), "fwd", (1,) * len(primes), False, interpret_mode(),
-        hyb, True,
+        hyb, True, bt,
     )
     lo, hi = call(_pad_cb(x_lo, pad), _pad_cb(x_hi, pad))
     return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
@@ -683,9 +690,11 @@ def inv_multi(x_lo, x_hi, primes: tuple, scales: tuple,
     (any u64 representatives) -> standard-order canonical pairs."""
     n = x_lo.shape[-1]
     b = x_lo.shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     call = _build_multi_call64(
-        n, tuple(primes), "inv", tuple(scales), False, interpret_mode(), hyb
+        n, tuple(primes), "inv", tuple(scales), False, interpret_mode(), hyb,
+        bt=bt,
     )
     lo, hi = call(_pad_cb(x_lo, pad), _pad_cb(x_hi, pad))
     return (lo[:, :b], hi[:, :b]) if pad else (lo, hi)
@@ -697,9 +706,11 @@ def pointwise_inv_multi(fl, fr, primes: tuple, scales: tuple,
     kernel: fl, fr = (lo, hi) pairs of [C, B, n] -> standard-order pairs."""
     n = fl[0].shape[-1]
     b = fl[0].shape[-2]
-    pad = (-b) % _B_TILE
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
     call = _build_multi_call64(
-        n, tuple(primes), "inv", tuple(scales), True, interpret_mode(), hyb
+        n, tuple(primes), "inv", tuple(scales), True, interpret_mode(), hyb,
+        bt=bt,
     )
     lo, hi = call(
         _pad_cb(fl[0], pad), _pad_cb(fl[1], pad),

@@ -20,3 +20,49 @@ import os
 
 def interpret_mode() -> bool:
     return bool(os.environ.get("CONCRETE_NTT_TPU_PALLAS_INTERPRET"))
+
+
+def smallb_hw_verified_marker() -> str:
+    """Marker dropped by an all-PASS tools/tpu_parity.py run (which includes
+    the sub-8 batch-tile kernel shapes): until it exists, real-TPU kernels
+    keep the proven bt=8 tile and pad (Mosaic miscompiles are real —
+    CLAUDE.md; every new kernel shape needs hardware parity first)."""
+    from .table_cache import _cache_dir
+
+    d = _cache_dir() or "/tmp"
+    return os.path.join(d, "smallb_hw_verified_v1")
+
+
+def small_batch_tiles() -> bool:
+    """Whether sub-8 batch tiles (bt in {1, 2, 4}) may serve B < 8 calls —
+    the single-polynomial latency mitigation (round-3 verdict item 5: the
+    bt=8 tile pads B=1 to 8, an 8x compute floor). CONCRETE_NTT_TPU_SMALLB
+    =1 forces on (parity/measurement runs), =0 off; default auto = on under
+    interpret/CPU (no Mosaic in the loop), on real TPU only once the
+    hardware parity marker exists."""
+    env = os.environ.get("CONCRETE_NTT_TPU_SMALLB", "auto")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    if interpret_mode():
+        return True
+    try:
+        import jax
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return True
+    return os.path.exists(smallb_hw_verified_marker())
+
+
+def batch_tile(b: int, bt_max: int = 8) -> int:
+    """Batch-tile extent for a B=b call: the proven bt_max tile for b >=
+    bt_max, else the smallest power of two >= b when small tiles are
+    allowed (kernel rows stay >= n2 >= 128, so the MXU contraction remains
+    full-width at every bt)."""
+    if b >= bt_max or not small_batch_tiles():
+        return bt_max
+    return 1 << max(0, (b - 1).bit_length())

@@ -44,6 +44,29 @@ def test_prime32_roundtrip_at_2pow16(rng, n):
     np.testing.assert_array_equal(y, want)
 
 
+def test_product_2xu32_sparse_polymul_at_2pow16(rng):
+    """product-2xu32-65536 bench-row shape: fused 2-channel product plan
+    over the ext-prime factors, vs the exact sparse (monomial) oracle."""
+    from concrete_ntt_tpu import product
+
+    n = 1 << 16
+    f1, f2 = primes32_ext()[0], primes32_ext()[1]
+    m = f1 * f2
+    plan = product.Plan.try_new(n, m, (f1, f2))
+    assert plan is not None
+    lhs = rng.integers(0, m, (1, n), dtype=np.uint64)
+    s = 23451
+    rhs = np.zeros((1, n), dtype=np.uint64)
+    rhs[0, s] = 1
+    got = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+    want = np.zeros(n, dtype=np.uint64)
+    want[s:] = lhs[0, : n - s]
+    want[:s] = np.array(
+        [(m - int(v)) % m for v in lhs[0, n - s:]], dtype=np.uint64
+    )  # x^n = -1 (mod m)
+    np.testing.assert_array_equal(got[0], want)
+
+
 def test_native64_sparse_polymul_at_2pow16(rng):
     n = 1 << 16
     plan = native64.Plan32.try_new(n)

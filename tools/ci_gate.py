@@ -1,0 +1,80 @@
+"""One-command release gate (`make ci`): lint -> full CPU suite ->
+interpret-mode kernel parity -> (if a real TPU answers a bounded probe)
+hardware parity + headline bench.
+
+Motivation (round-3 verdict): the reference's bench CI publishes on every
+push (.github/workflows/benchmark.yml:19-21,70-96 there); this repo must
+not end a round with green code and stale hardware evidence. The TPU legs
+self-skip with an explicit reason when the axon tunnel is down, so the
+gate is always runnable; when the tunnel answers, the parity leg writes
+the hybrid hardware-verification marker on an all-PASS run
+(ops/ntt_dispatch.hybrid_hw_verified_marker).
+
+Exit code 0 = every leg that could run passed; non-zero otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(name: str, cmd: list[str], timeout: int | None = None) -> bool:
+    print(f"\n=== ci: {name} ===", flush=True)
+    t0 = time.time()
+    try:
+        rc = subprocess.run(cmd, cwd=REPO, timeout=timeout).returncode
+    except subprocess.TimeoutExpired:
+        print(f"--- {name}: TIMEOUT after {timeout}s", flush=True)
+        return False
+    print(f"--- {name}: {'PASS' if rc == 0 else f'FAIL rc={rc}'} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    return rc == 0
+
+
+def tpu_reachable() -> bool:
+    """Bounded probe in a subprocess (a hung tunnel wedges in-process jax;
+    CLAUDE.md rule 1b)."""
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "tpu_probe.py")],
+            cwd=REPO, timeout=95,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        return False
+    return rc == 0
+
+
+def main() -> int:
+    py = sys.executable
+    ok = True
+    ok &= run("lint", [py, "tools/lint.py"])
+    # Full CPU suite (conftest forces the CPU backend + virtual 8-device
+    # mesh; includes interpret-mode parity for every production kernel via
+    # tests/test_pallas_interpret.py and the hybrid/sharded composition
+    # suites).
+    ok &= run("tests", [py, "-m", "pytest", "tests/", "-q"], timeout=3600)
+    if not ok:
+        print("\nci: FAILED before hardware legs", flush=True)
+        return 1
+    if os.environ.get("CONCRETE_NTT_TPU_CI_SKIP_TPU"):
+        print("\nci: TPU legs skipped by CONCRETE_NTT_TPU_CI_SKIP_TPU", flush=True)
+        return 0
+    if not tpu_reachable():
+        print("\nci: PASS (CPU legs). TPU legs SKIPPED: bounded probe got "
+              "no answer in 95s — axon tunnel down; re-run `make ci` (or "
+              "`make parity && python bench.py`) when it recovers.", flush=True)
+        return 0
+    ok &= run("tpu-parity", [py, "tools/tpu_parity.py"], timeout=5400)
+    ok &= run("headline", [py, "bench.py"], timeout=1800)
+    print(f"\nci: {'PASS (all legs incl. hardware)' if ok else 'FAILED'}",
+          flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -296,6 +296,15 @@ def main():
         for i, p in enumerate(pr_ext[:2]):
             check(f"mxu32.inv_multi ext n={n} ch{i}", mi_ext[i],
                   run(mxu32.inv, xs_ext[i], n=n, p=p, scale=scales_ext[i]))
+        # 4-limb (u128 operand) channel-grid fwd at 2^16 — the kernel shape
+        # behind the native128-32-65536 bench row (north-star single chip)
+        four_ext = tuple(mk32(8, n) for _ in range(4))
+        m4_ext = np.asarray(
+            run(lambda l: mxu32_pallas.fwd_wide_multi(l, pr_ext[:3]), four_ext)
+        )
+        for i, p in enumerate(pr_ext[:2]):
+            check(f"mxu32.fwd_wide_multi4 ext n={n} ch{i}", m4_ext[i],
+                  run(mxu32.fwd_wide, four_ext, n=n, p=p))
 
     n = 1 << 14
     # --- mxu32 channel-grid (incl. the fixed in-kernel Montgomery) --------
@@ -428,7 +437,8 @@ def main():
     )
     check_pair(f"sharded64.pass_A rows={rows}", got, want)
 
-    # --- B=1 padding path of the fused kernels ----------------------------
+    # --- B=1 padding path of the fused kernels (bt=8, pre-marker default) --
+    os.environ["CONCRETE_NTT_TPU_SMALLB"] = "0"
     x1 = mk32(1, n)
     check("fused32.fwd b=1",
           run(mxu32_pallas.fwd, x1, n=n, p=P_LT30),
@@ -437,6 +447,64 @@ def main():
     check_pair("fused64.fwd b=1",
                run(mxu64_pallas.fwd, l1, n=n, p=GOLDILOCKS),
                run(mxu64.fwd, l1, n=n, p=GOLDILOCKS))
+
+    # --- sub-8 batch tiles (the B=1 latency mitigation) --------------------
+    # bt in {1, 2, 4} kernel variants across every family; forced on so the
+    # run verifies them BEFORE the marker lets 'auto' serve them on TPU.
+    os.environ["CONCRETE_NTT_TPU_SMALLB"] = "1"
+    for b, tag, p in ((1, "lt30", P_LT30), (2, "gen5", P_GEN5),
+                      (3, "lt30", P_LT30)):
+        xb = mk32(b, n)
+        s = pow(n, p - 2, p) * pow(2, 32, p) % p
+        check(f"smallb.fused32.fwd b={b} {tag}",
+              run(mxu32_pallas.fwd, xb, n=n, p=p),
+              run(mxu32.fwd, xb, n=n, p=p))
+        check(f"smallb.fused32.inv b={b} {tag}",
+              run(mxu32_pallas.inv, xb, n=n, p=p, scale=s),
+              run(mxu32.inv, xb, n=n, p=p, scale=s))
+    for b, tag, p in ((1, "gl", GOLDILOCKS), (2, "p50", PRIMES52[0]),
+                      (3, "p63.mont", P64_REGIMES[2][1])):
+        lb = (mk32(b, n), mk32(b, n))
+        s = pow(n, p - 2, p) * pow(2, 64, p) % p
+        check_pair(f"smallb.fused64.fwd b={b} {tag}",
+                   run(mxu64_pallas.fwd, lb, n=n, p=p),
+                   run(mxu64.fwd, lb, n=n, p=p))
+        check_pair(f"smallb.fused64.inv b={b} {tag}",
+                   run(mxu64_pallas.inv, lb, n=n, p=p, scale=s),
+                   run(mxu64.inv, lb, n=n, p=p, scale=s))
+    # channel-grid kernels at b=1 (the native-plan polymul B=1 path)
+    l1 = (mk32(1, n), mk32(1, n))
+    m1s = np.asarray(run(lambda l: mxu32_pallas.fwd_wide_multi(l, primes), l1))
+    for i, p in enumerate(primes[:2]):
+        check(f"smallb.mxu32.fwd_wide_multi b=1 ch{i}", m1s[i],
+              run(mxu32.fwd_wide, l1, n=n, p=p))
+    xs1 = mk32(3, 1, n)
+    scales3 = tuple(pow(n, p - 2, p) * pow(2, 32, p) % p for p in pr3)
+    mi1 = np.asarray(run(lambda v: mxu32_pallas.inv_multi(v, pr3, scales3), xs1))
+    for i, p in enumerate(pr3[:2]):
+        check(f"smallb.mxu32.inv_multi b=1 ch{i}", mi1[i],
+              run(mxu32.inv, xs1[i], n=n, p=p, scale=scales3[i]))
+    scales52 = tuple(pow(n, p - 2, p) * pow(2, 64, p) % p for p in pr52)
+    lo, hi = run(lambda l: mxu64_pallas.fwd_multi(l, pr52), l1)
+    for i, p in enumerate(pr52[:2]):
+        check_pair(f"smallb.mxu64.fwd_multi b=1 ch{i}", (lo[i], hi[i]),
+                   run(mxu64.fwd, l1, n=n, p=p))
+    # passes engines at b=1 (mid sizes) and the hybrid at b=1 (n=2^15)
+    x1m = mk32(1, 4096)
+    check("smallb.passes32.fwd b=1 n=4096",
+          run(mxu32_pallas.passes_engine.fwd, x1m, n=4096, p=P_LT30),
+          run(mxu32.fwd, x1m, n=4096, p=P_LT30))
+    l1m = (mk32(1, 4096), mk32(1, 4096))
+    check_pair("smallb.passes64.fwd b=1 n=4096",
+               run(mxu64_pallas.passes_engine64.fwd, l1m, n=4096, p=GOLDILOCKS),
+               run(mxu64.fwd, l1m, n=4096, p=GOLDILOCKS))
+    if not args.quick:
+        nh = 1 << 15
+        l1h = (mk32(1, nh), mk32(1, nh))
+        check_pair("smallb.hybrid64.fwd b=1 n=32768",
+                   run(stagesplit.fwd64_fused, l1h, n=nh, p=PRIMES52[0]),
+                   run(mxu64.fwd, l1h, n=nh, p=PRIMES52[0]))
+    del os.environ["CONCRETE_NTT_TPU_SMALLB"]
 
     dt = time.time() - t0
     if FAILURES:
@@ -450,12 +518,12 @@ def main():
 
     if not args.quick and jax.devices()[0].platform == "tpu":
         from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
+        from concrete_ntt_tpu.ops.pallas_env import smallb_hw_verified_marker
 
-        path = hybrid_hw_verified_marker()
-        with open(path, "w") as f:
-            f.write(f"all {N_CHECKS} checks passed in {dt:.0f}s\n")
-        print(f"hybrid hardware-verification marker written: {path}",
-              flush=True)
+        for path in (hybrid_hw_verified_marker(), smallb_hw_verified_marker()):
+            with open(path, "w") as f:
+                f.write(f"all {N_CHECKS} checks passed in {dt:.0f}s\n")
+            print(f"hardware-verification marker written: {path}", flush=True)
 
 
 if __name__ == "__main__":
