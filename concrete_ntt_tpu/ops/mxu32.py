@@ -429,8 +429,11 @@ def _digit_cat(x):
     parts = []
     for limb in limbs:
         for ee in range(4):
-            dig = ((limb >> np.uint32(8 * ee)) & np.uint32(255)).astype(jnp.int32)
-            parts.append((dig - 128).astype(jnp.int8))
+            # (d & 255) - 128 as an int8 BIT PATTERN equals (d ^ 128)'s low
+            # byte (adding 128 mod 256 flips bit 7; the i8 convert truncates)
+            # — 3 VPU ops/plane instead of 5 in the kernel hot path.
+            dig = (limb >> np.uint32(8 * ee)) ^ np.uint32(128)
+            parts.append(dig.astype(jnp.int8))
     return jnp.concatenate(parts, axis=-1)
 
 

@@ -444,8 +444,10 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
 def _digit8(x):
     parts = []
     for ee in range(4):
-        dig = ((x >> np.uint32(8 * ee)) & np.uint32(255)).astype(jnp.int32)
-        parts.append((dig - 128).astype(jnp.int8))
+        # xor-128 digit trick (see mxu32._digit_cat): same int8 bit pattern
+        # as (d & 255) - 128, two fewer VPU ops per plane.
+        dig = (x >> np.uint32(8 * ee)) ^ np.uint32(128)
+        parts.append(dig.astype(jnp.int8))
     return jnp.concatenate(parts, axis=-1)
 
 

@@ -356,8 +356,10 @@ def _digit_cat(limbs: tuple, n_planes: int | None = None):
     parts = []
     for ee in range(n_planes):
         limb = limbs[ee // 4]
-        dig = ((limb >> np.uint32(8 * (ee % 4))) & np.uint32(255)).astype(jnp.int32)
-        parts.append((dig - 128).astype(jnp.int8))
+        # (d & 255) - 128 == low byte of (d ^ 128) as an int8 bit pattern
+        # (see mxu32._digit_cat) — 2 fewer VPU ops per plane in-kernel.
+        dig = (limb >> np.uint32(8 * (ee % 4))) ^ np.uint32(128)
+        parts.append(dig.astype(jnp.int8))
     return jnp.concatenate(parts, axis=-1)
 
 
