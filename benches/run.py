@@ -127,7 +127,8 @@ def _prime_benches(ns, want=lambda bid: True):
 
         for p in ps32:
             if not (want(f"fwd-32-{p}-{n}") or want(f"inv-32-{p}-{n}")
-                    or want(f"fwd-32-{p}-{n}-b1")):
+                    or want(f"fwd-32-{p}-{n}-b1")
+                    or want(f"inv-32-{p}-{n}-b1")):
                 continue
             plan = prime32.Plan.try_new(n, p)
             if plan is None:
@@ -137,9 +138,11 @@ def _prime_benches(ns, want=lambda bid: True):
             yield f"fwd-32-{p}-{n}", two_el(plan.fwd), (x, x2), BATCH
             yield f"inv-32-{p}-{n}", two_el(plan.inv), (x, x2), BATCH
             if n == 16384 and p == ps32[0]:
-                # single-call latency row (the reference's own metric class,
+                # single-call latency rows (the reference's own metric class,
                 # benches/ntt.rs:84-132 measures one poly per iteration)
                 yield (f"fwd-32-{p}-{n}-b1", two_el(plan.fwd),
+                       (x[:1], x2[:1]), 1)
+                yield (f"inv-32-{p}-{n}-b1", two_el(plan.inv),
                        (x[:1], x2[:1]), 1)
         ps64 = [
             prime_in_ap(1 << 16, 1, 1 << 49, 1 << 50),
@@ -151,7 +154,8 @@ def _prime_benches(ns, want=lambda bid: True):
         ]
         for p in ps64:
             if not (want(f"fwd-64-{p}-{n}") or want(f"inv-64-{p}-{n}")
-                    or want(f"fwd-64-{p}-{n}-b1")):
+                    or want(f"fwd-64-{p}-{n}-b1")
+                    or want(f"inv-64-{p}-{n}-b1")):
                 continue
             plan = prime64.Plan.try_new(n, p)
             if plan is None:
@@ -164,6 +168,8 @@ def _prime_benches(ns, want=lambda bid: True):
             yield f"inv-64-{p}-{n}", two_el(plan.inv), (x, x2), BATCH
             if n == 16384 and p == prime64.Solinas:
                 yield (f"fwd-64-{p}-{n}-b1", two_el(plan.fwd),
+                       (x[:1], x2[:1]), 1)
+                yield (f"inv-64-{p}-{n}-b1", two_el(plan.inv),
                        (x[:1], x2[:1]), 1)
 
 

@@ -34,6 +34,11 @@ BATCH = 16
 
 def _resolve_p(n: int, spec: str) -> int:
     named = {
+        # 32-bit regimes (prime32 tiers; see _tiers32)
+        "lt30": lambda: lpap(2 * n, 1, 0, 1 << 30),
+        "lt31": lambda: lpap(2 * n, 1, 1 << 30, 1 << 31),
+        "gen32": lambda: lpap(2 * n, 1, 1 << 31, 1 << 32),
+        # 64-bit regimes
         "p50": lambda: lpap(2 * n, 1, 0, 1 << 50),
         "p51": lambda: lpap(2 * n, 1, 0, 1 << 51),
         "gl": lambda: GOLDILOCKS,
@@ -65,28 +70,59 @@ def _tiers(n: int, p: int):
     return tiers
 
 
+def _tiers32(n: int, p: int):
+    """prime32 fwd tiers: stage-split hybrid (fused + XLA block cores),
+    direct fused whole-transform kernel, pass kernels, pure-XLA stages."""
+    from concrete_ntt_tpu.ops import mxu32, ntt_dispatch, stagesplit
+    from concrete_ntt_tpu.prime32 import _variant
+
+    variant = _variant(p)
+    tiers = {}
+    if ntt_dispatch._pallas_impls_runnable():
+        from concrete_ntt_tpu.ops import mxu32_pallas
+
+        if mxu32_pallas.fused_applicable(n):
+            tiers["fused"] = lambda x: mxu32_pallas.fwd(x, n=n, p=p)
+        if n >= 2048:  # pass kernels + XLA transpose (ntt_dispatch._mxu_impl)
+            tiers["passes"] = lambda x: mxu32_pallas.passes_engine.fwd(
+                x, n=n, p=p
+            )
+        if stagesplit.applicable32(n, p, variant):
+            tiers["hybrid"] = lambda x: stagesplit.fwd32_fused(x, n=n, p=p)
+    if mxu32.applicable(n, p, variant):
+        tiers["xla"] = lambda x: mxu32.fwd(x, n=n, p=p)
+    return tiers
+
+
 def run_ab(n: int, p: int, label: str):
     import jax.numpy as jnp
 
     from concrete_ntt_tpu.utils.profiling import chain_time
 
     rng = np.random.default_rng(0)
-    x = rng.integers(0, p, (BATCH, n), dtype=np.uint64)
-    lo = jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32))
-    hi = jnp.asarray((x >> 32).astype(np.uint32))
-
-    tiers = _tiers(n, p)
+    if p < (1 << 32):
+        xs = jnp.asarray(
+            rng.integers(0, p, (BATCH, n), dtype=np.uint64).astype(np.uint32)
+        )
+        operands = (xs,)
+        tiers = _tiers32(n, p)
+    else:
+        x = rng.integers(0, p, (BATCH, n), dtype=np.uint64)
+        lo = jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32))
+        hi = jnp.asarray((x >> 32).astype(np.uint32))
+        operands = ((lo, hi),)
+        tiers = _tiers(n, p)
     # calibrate chain length per tier for >= 40 ms of device work (CLAUDE.md:
     # short chains leave tunnel jitter, ~ms, in the measurement)
     lengths = {}
     for name, fn in tiers.items():
-        t0 = chain_time(lambda limbs: fn(limbs), (lo, hi), length=32, reps=1)
+        t0 = chain_time(lambda a: fn(a), operands[0], length=32, reps=1)
         lengths[name] = max(32, min(1 << 14, int(0.04 / max(t0, 1e-7))))
     best = {k: float("inf") for k in tiers}
     for rep in range(REPS):
         for name, fn in tiers.items():
             t = chain_time(
-                lambda limbs: fn(limbs), (lo, hi), length=lengths[name],
+                lambda a: fn(a), operands[0], length=lengths[name],
                 reps=1,
             )
             ns = t * 1e9 / BATCH
