@@ -520,9 +520,20 @@ def main():
         from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
         from concrete_ntt_tpu.ops.pallas_env import smallb_hw_verified_marker
 
+        try:
+            import subprocess
+
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+        except Exception:
+            commit = "unknown"
         for path in (hybrid_hw_verified_marker(), smallb_hw_verified_marker()):
             with open(path, "w") as f:
-                f.write(f"all {N_CHECKS} checks passed in {dt:.0f}s\n")
+                f.write(f"all {N_CHECKS} checks passed in {dt:.0f}s at commit {commit}\n")
             print(f"hardware-verification marker written: {path}", flush=True)
 
 
