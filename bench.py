@@ -102,8 +102,13 @@ def main():
     assert plan is not None
 
     rng = np.random.default_rng(0)
-    lhs = jnp.asarray(np_u64_to_limbs(rng.integers(0, 1 << 64, (BATCH, N), dtype=np.uint64)))
-    rhs = jnp.asarray(np_u64_to_limbs(rng.integers(0, 1 << 64, (BATCH, N), dtype=np.uint64)))
+    # planar (lo, hi) limb tuples: the documented performance format — the
+    # interleaved [B, N, 2] array costs ~955 ns/poly in de/re-interleave on
+    # TPU (trailing dim 2 maps to 2/128 lanes; measured in tools/ab_marshal.py)
+    ll = np_u64_to_limbs(rng.integers(0, 1 << 64, (BATCH, N), dtype=np.uint64))
+    rl = np_u64_to_limbs(rng.integers(0, 1 << 64, (BATCH, N), dtype=np.uint64))
+    lhs = (jnp.asarray(ll[..., 0]), jnp.asarray(ll[..., 1]))
+    rhs = (jnp.asarray(rl[..., 0]), jnp.asarray(rl[..., 1]))
 
     def chain(k):
         def fn(a, b):
@@ -114,7 +119,7 @@ def main():
                 return (plan.negacyclic_polymul(c, d), c), None
 
             (c, _), _ = jax.lax.scan(body, (a, b), None, length=k)
-            return jnp.sum(c, dtype=jnp.uint32)
+            return sum(jnp.sum(l, dtype=jnp.uint32) for l in c)
 
         return jax.jit(fn)
 

@@ -40,6 +40,24 @@ def _marshal_in(x, width: int, n: int):
         a = arr.reshape(-1, n)
         return (a,), lead, "u32"
     nlimbs = width // 32
+    if (
+        isinstance(x, (list, tuple))
+        and len(x) == nlimbs
+        and all(hasattr(e, "shape") and getattr(e, "ndim", 0) >= 1 for e in x)
+    ):
+        # planar limb tuple (lo, hi[, ...]) — the PERFORMANCE format: the
+        # interleaved [..., n, nlimbs] array maps its trailing dim to 2/128
+        # TPU lanes, and inside a polymul chain every step pays two
+        # de-interleaves and one re-interleave of it (~955 ns/poly measured
+        # at n=2^14, tools/ab_marshal.py). Planar tuples are exactly what
+        # the engines consume, so marshalling is a no-op.
+        arrs = tuple(jnp.asarray(e) for e in x)
+        if any(a.dtype != jnp.uint32 or a.shape != arrs[0].shape for a in arrs):
+            raise TypeError(f"planar limbs must be {nlimbs} same-shape uint32 arrays")
+        if arrs[0].shape[-1] != n:
+            raise ValueError(f"transform axis must be n={n}, got {arrs[0].shape}")
+        lead = arrs[0].shape[:-1]
+        return tuple(a.reshape(-1, n) for a in arrs), lead, "planar"
     if isinstance(x, np.ndarray) and x.dtype == np.uint64 and width == 64:
         limbs = jnp.asarray(np_u64_to_limbs(x))
         fmt = "np64"
@@ -61,6 +79,8 @@ def _marshal_in(x, width: int, n: int):
 def _marshal_out(parts: tuple, lead, fmt: str, n: int):
     if fmt == "u32":
         return parts[0].reshape(*lead, n)
+    if fmt == "planar":
+        return tuple(p.reshape(*lead, n) for p in parts)
     out = jnp.stack(parts, axis=-1).reshape(*lead, n, len(parts))
     if fmt == "np64":
         return limbs_to_np_u64(np.asarray(out))
@@ -259,6 +279,10 @@ class NativePlanBase:
         if isinstance(x, np.ndarray) and x.dtype == np.uint64:
             return "np64"
         if isinstance(x, (list, tuple)):
+            if len(x) == self.width // 32 and all(
+                hasattr(e, "shape") and getattr(e, "ndim", 0) >= 1 for e in x
+            ):
+                return "planar"
             return "py128"
         return "limbs"
 

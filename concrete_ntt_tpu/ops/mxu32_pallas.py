@@ -321,7 +321,7 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple,
 def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                       scales: tuple, pointwise: bool, interp: bool = False,
                       perch_in: bool = False, hyb: tuple | None = None,
-                      bt: int = 8):
+                      bt: int = 8, hoist: bool | None = None):
     """perch_in=True (fwd only): the operand is [C, B, n] per limb with a
     DIFFERENT residue array per channel (e.g. the Bounded centered
     representation, product.rs:303-322, or the stage-split hybrid's prefix
@@ -333,12 +333,21 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
     n_diag = len(diag)
     n_in = (2 if pointwise else 1) * n_limbs if direction == "inv" else n_limbs
 
+    # fwd with a SHARED operand (perch_in=False): the input digit split +
+    # (n1, n2) transpose are channel-independent, but the channel grid axis
+    # re-executes the kernel body C times per batch tile. Hoist them into a
+    # VMEM scratch computed once at channel 0 (the channel axis is innermost
+    # and grid steps run sequentially in row-major order), so channels 1..C-1
+    # skip ~4·n_limbs digit planes + one transpose of VPU work per element.
+    hoist_digits = (direction == "fwd" and not perch_in) if hoist is None else hoist
+
     def kernel(*refs):
         sc_ref = refs[0]
         p1_ref, c1_ref, p2_ref, c2_ref = refs[1:5]
         diag_refs = refs[5 : 5 + n_diag]
         x_refs = refs[5 + n_diag : 5 + n_diag + n_in]
-        out_ref = refs[-1]
+        out_ref = refs[-2] if hoist_digits else refs[-1]
+        xd_scr = refs[-1] if hoist_digits else None
 
         sc = tuple(sc_ref[0, 0, j] for j in range(5))
         m1 = p1_ref[0]
@@ -348,15 +357,30 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
         dg = tuple(r[0][None] for r in diag_refs)
 
         if direction == "fwd":
-            v = tuple(
-                jnp.swapaxes(
-                    (r[0] if perch_in else r[:]).reshape(bt, n1, n2), 1, 2
+            if hoist_digits:
+                @pl.when(pl.program_id(1) == 0)
+                def _split_once():
+                    v = tuple(
+                        jnp.swapaxes(r[:].reshape(bt, n1, n2), 1, 2)
+                        for r in x_refs
+                    )
+                    xd_scr[...] = (
+                        jnp.concatenate([_digit8(limb) for limb in v], axis=-1)
+                        if len(v) > 1
+                        else _digit8(v[0])
+                    )
+
+                xd = xd_scr[...]
+            else:
+                v = tuple(
+                    jnp.swapaxes(
+                        (r[0] if perch_in else r[:]).reshape(bt, n1, n2), 1, 2
+                    )
+                    for r in x_refs
                 )
-                for r in x_refs
-            )
-            xd = jnp.concatenate(
-                [_digit8(limb) for limb in v], axis=-1
-            ) if len(v) > 1 else _digit8(v[0])
+                xd = jnp.concatenate(
+                    [_digit8(limb) for limb in v], axis=-1
+                ) if len(v) > 1 else _digit8(v[0])
             lo, hi = _sc_combine(_dot8(xd, m1), cv1, n1)
             y = _sc_epilogue_scaled_lazy(lo, hi, dg, sc)
             y = jnp.swapaxes(y, 1, 2)
@@ -423,6 +447,9 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                 (1, bt, n), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((C, bsz, n), jnp.uint32),
+            scratch_shapes=(
+                [pltpu.VMEM((bt, n2, k1), jnp.int8)] if hoist_digits else []
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary"),

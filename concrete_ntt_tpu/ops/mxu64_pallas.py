@@ -522,20 +522,30 @@ def _multi_tables64(n: int, primes: tuple, scales: tuple,
 def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
                         pointwise: bool, interp: bool = False,
                         hyb: tuple | None = None, perch_fwd: bool = False,
-                        bt: int = 8):
+                        bt: int = 8, hoist: bool | None = None):
     tabs = _multi_tables64(n, primes, scales, hyb)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
     planes1, cvec1, planes2, cvec2, mont = tabs[direction]
     n_mont = len(mont)
     n_in = (4 if pointwise else 2) if direction == "inv" else 2
+    # Shared-operand fwd digit-split hoist (see mxu32_pallas._build_multi_call):
+    # measured a WASH here (8.47 vs 8.34 µs/poly best-of-3, within ±3% noise)
+    # — only C=3 channels share the split and the 3-limb epilogues dominate —
+    # so it stays off by default; the mxu32 grid (C=5, thinner epilogue)
+    # keeps it on where it measured ~5% off the fwd kernel.
+    hoist_digits = False if hoist is None else hoist
+    k1 = planes1.shape[1]
 
     def kernel(*refs):
         sc_ref = refs[0]
         p1_ref, c1_ref, p2_ref, c2_ref = refs[1:5]
         mont_refs = refs[5 : 5 + n_mont]
         x_refs = refs[5 + n_mont : 5 + n_mont + n_in]
-        out_lo_ref, out_hi_ref = refs[-2], refs[-1]
+        if hoist_digits:
+            out_lo_ref, out_hi_ref, xd_scr = refs[-3], refs[-2], refs[-1]
+        else:
+            out_lo_ref, out_hi_ref = refs[-2], refs[-1]
 
         sc = _read_sc(sc_ref)
         m1, cv1 = p1_ref[0], c1_ref[0]
@@ -543,13 +553,25 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
         tab = tuple(r[0] for r in mont_refs)
 
         if direction == "fwd":
-            v = tuple(
-                jnp.swapaxes(
-                    (r[0] if perch_fwd else r[:]).reshape(bt, n1, n2), 1, 2
+            if hoist_digits:
+                @pl.when(pl.program_id(1) == 0)
+                def _split_once():
+                    v = tuple(
+                        jnp.swapaxes(r[:].reshape(bt, n1, n2), 1, 2)
+                        for r in x_refs
+                    )
+                    xd_scr[...] = mxu64._digit_cat(v, m1.shape[0] // n1)
+
+                xd = xd_scr[...]
+            else:
+                v = tuple(
+                    jnp.swapaxes(
+                        (r[0] if perch_fwd else r[:]).reshape(bt, n1, n2), 1, 2
+                    )
+                    for r in x_refs
                 )
-                for r in x_refs
-            )
-            big = mxu64._dot(mxu64._digit_cat(v, m1.shape[0] // n1), m1)
+                xd = mxu64._digit_cat(v, m1.shape[0] // n1)
+            big = mxu64._dot(xd, m1)
             y = _sc_scaled_epilogue(
                 *mxu64._combine8(big, cv1, n1, cv1.shape[0]), tab, sc
             )
@@ -627,6 +649,9 @@ def _build_multi_call64(n: int, primes: tuple, direction: str, scales: tuple,
             out_shape=[
                 jax.ShapeDtypeStruct((C, bsz, n), jnp.uint32) for _ in range(2)
             ],
+            scratch_shapes=(
+                [pltpu.VMEM((bt, n2, k1), jnp.int8)] if hoist_digits else []
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary"),

@@ -260,7 +260,9 @@ def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
     # stage streams at full HBM bandwidth between kernels.
     lo, hi = mulwide_u32(fl, fr)
     m = lo * nv
-    t = hi + mulhi_u32(m, pv) + ((lo + m * pv) < lo).astype(jnp.uint32)
+    # REDC carry: lo(a·b) + lo(m·p) is 0 or exactly 2^32 (m·p ≡ -lo mod 2^32),
+    # so the carry is just (lo != 0) — no second mullo+add+compare needed.
+    t = hi + mulhi_u32(m, pv) + (lo != 0).astype(jnp.uint32)
     scales = tuple(
         pow(n, pl.p - 2, pl.p) * pow(2, 32, pl.p) % pl.p for pl in plans
     )

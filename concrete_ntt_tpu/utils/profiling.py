@@ -50,11 +50,14 @@ def chain_time(step, args, *, length: int = 128, reps: int = 5):
                 return step(carry), None
 
             out, _ = jax.lax.scan(body, ops, None, length=k)
-            # touch EVERY carry leaf: anything unreachable from the returned
-            # value is dead code XLA eliminates (a step whose first leaf does
-            # not depend on the timed op would time nothing)
+            # Reduce EVERY element of EVERY carry leaf: a [:1] slice-touch is
+            # not DCE-proof for ELEMENTWISE stages — XLA slices the whole
+            # dependency chain down to element [0] and times nothing (the
+            # transform stages were immune only because each output element
+            # depends on all inputs). The full reduction runs once, outside
+            # the scan, so it cancels in the (t_K - t_1)/(K - 1) difference.
             return sum(
-                jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+                jnp.sum(leaf.astype(jnp.float32))
                 for leaf in jax.tree_util.tree_leaves(out)
             )
 

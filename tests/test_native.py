@@ -183,3 +183,58 @@ def test_try_new_invalid_n():
     assert native64.Plan32.try_new(1 << 16) is not None
     assert native64.Plan32.try_new(1 << 18) is None
     assert native64.Plan32.try_new(48) is None
+
+
+# -- planar limb-tuple format (the performance format) ------------------------
+
+
+@pytest.mark.parametrize("tier", ["plan32", "plan52"])
+def test_native64_planar_polymul_matches_interleaved(tier, rng):
+    """Planar (lo, hi) tuples are the zero-marshalling device format
+    (tools/ab_marshal.py: interleaved [.., n, 2] costs ~955 ns/poly at
+    n=2^14 on TPU); results must be bit-identical to the array formats."""
+    from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
+
+    plan = (native64.Plan32 if tier == "plan32" else native64.Plan52).try_new(N)
+    assert plan is not None
+    lhs, rhs = _u64(rng, (3, N)), _u64(rng, (3, N))
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))  # np64 format
+
+    ll, rl = np_u64_to_limbs(lhs), np_u64_to_limbs(rhs)
+    got = plan.negacyclic_polymul(
+        (ll[..., 0], ll[..., 1]), (rl[..., 0], rl[..., 1])
+    )
+    assert isinstance(got, tuple) and len(got) == 2
+    lo, hi = (np.asarray(g) for g in got)
+    assert lo.shape == (3, N) and lo.dtype == np.uint32
+    back = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(back, want)
+
+
+def test_native64_planar_fwd_inv_roundtrip(rng):
+    from concrete_ntt_tpu.ops.u32 import np_u64_to_limbs
+
+    plan = native64.Plan32.try_new(N)
+    x = _u64(rng, (2, N))
+    xl = np_u64_to_limbs(x)
+    residues = plan.fwd((xl[..., 0], xl[..., 1]))
+    ref_res = plan.fwd(x)
+    np.testing.assert_array_equal(np.asarray(residues), np.asarray(ref_res))
+    lo, hi = plan.inv(residues, out_format="planar")
+    back = np.asarray(lo).astype(np.uint64) | (
+        np.asarray(hi).astype(np.uint64) << np.uint64(32)
+    )
+    np.testing.assert_array_equal(back, (x * np.uint64(N)))
+
+
+def test_native128_planar_polymul_matches_py128(rng):
+    plan = native128.Plan32.try_new(N)
+    lhs, rhs = _u128(rng), _u128(rng)
+    want = plan.negacyclic_polymul(lhs, rhs)
+    ll, rl = np_u128_to_limbs(lhs), np_u128_to_limbs(rhs)
+    got = plan.negacyclic_polymul(
+        tuple(ll[..., i] for i in range(4)), tuple(rl[..., i] for i in range(4))
+    )
+    assert isinstance(got, tuple) and len(got) == 4
+    stacked = np.stack([np.asarray(g) for g in got], axis=-1)
+    assert limbs_to_py_u128(stacked) == want

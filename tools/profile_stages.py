@@ -142,7 +142,7 @@ def main():
     def pointwise(fl, fr):
         lo, hi = mulwide_u32(fl, fr)
         m = lo * nv
-        return hi + mulhi_u32(m, pv) + ((lo + m * pv) < lo).astype(jnp.uint32)
+        return hi + mulhi_u32(m, pv) + (lo != 0).astype(jnp.uint32)
 
     # --- stage steps (two-element carries; outputs feed back as inputs) ----
     def step_full(carry):
