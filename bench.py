@@ -34,15 +34,22 @@ BATCH = 8  # one Pallas batch tile per grid step measures best on v5e
 K = 256  # >= ~30 ms of on-device work so tunnel RTT jitter (~ms) cancels
 
 
-def _timed(fn, *args, reps=7):
-    _ = np.asarray(fn(*args))  # compile + sync
-    _ = np.asarray(fn(*args))  # chip warm-up (clock spin-up after idle)
-    best = float("inf")
+def _timed_pairs(f_k, f_1, args, reps=7):
+    """Interleaved (t_K, t_1) samples — K-chain and 1-chain alternate so
+    slow contention drift on the shared chip hits both sides of each
+    difference equally; per-rep estimates give the dispersion."""
+    for f in (f_k, f_1):
+        _ = np.asarray(f(*args))  # compile + sync
+        _ = np.asarray(f(*args))  # chip warm-up (clock spin-up after idle)
+    pairs = []
     for _i in range(reps):
         t0 = time.perf_counter()
-        _ = np.asarray(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        _ = np.asarray(f_k(*args))
+        tk = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = np.asarray(f_1(*args))
+        pairs.append((tk, time.perf_counter() - t0))
+    return pairs
 
 
 def _probe_device(timeout_s: float = 180.0):
@@ -123,10 +130,17 @@ def main():
 
         return jax.jit(fn)
 
-    t_k = _timed(chain(K), lhs, rhs)
-    t_1 = _timed(chain(1), lhs, rhs)
+    pairs = _timed_pairs(chain(K), chain(1), (lhs, rhs))
+    t_k = min(a for a, _ in pairs)
+    t_1 = min(b for _, b in pairs)
     per_step = max(t_k - t_1, 1e-9) / (K - 1)
     per_sec = BATCH / per_step
+    # dispersion of the per-rep interleaved estimates (round-4 verdict: a
+    # point estimate on a ±15%-wobble shared chip can't distinguish a real
+    # delta from noise across rounds)
+    ests = sorted((a - b) / (K - 1) for a, b in pairs if a > b)
+    med = BATCH / ests[len(ests) // 2] if ests else per_sec
+    low = BATCH / ests[-1] if ests else per_sec
 
     print(
         json.dumps(
@@ -135,6 +149,14 @@ def main():
                 "value": round(per_sec, 2),
                 "unit": "polymul/s",
                 "vs_baseline": round(per_sec / BASELINE_POLYMUL_PER_SEC, 3),
+                "value_med": round(med, 2),
+                "value_min": round(low, 2),
+                "reps": len(pairs),
+                # planar (lo, hi) input since round 4 — earlier rounds timed
+                # the interleaved [B, N, 2] format, which carries ~955
+                # ns/poly of marshalling (tools/ab_marshal.py); cross-round
+                # deltas must attribute that to the format, not kernels
+                "input_format": "planar",
             }
         )
     )

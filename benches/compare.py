@@ -44,12 +44,24 @@ def main():
     speedups = []
     for bid in both:
         o, n = old[bid]["ns_per_poly"], new[bid]["ns_per_poly"]
-        speedups.append((o / n, bid, o, n))
+        # significance: a delta is real only if the two rows' measured
+        # [min, max] spreads do not overlap (rows without dispersion fields
+        # — pre-round-5 grids — get a conservative ±8% half-spread, half of
+        # the documented ±15% cross-process wobble)
+        o_hi = old[bid].get("ns_per_poly_max", o * 1.08)
+        n_hi = new[bid].get("ns_per_poly_max", n * 1.08)
+        if n > o_hi:
+            sig = "regression"
+        elif n_hi < o:
+            sig = "improvement"
+        else:
+            sig = "noise"
+        speedups.append((o / n, bid, o, n, sig))
 
     if args.csv:
-        print("id,old_ns,new_ns,speedup")
-        for s, bid, o, n in sorted(speedups, key=lambda t: t[1]):
-            print(f"{bid},{o},{n},{s:.3f}")
+        print("id,old_ns,new_ns,speedup,significance")
+        for s, bid, o, n, sig in sorted(speedups, key=lambda t: t[1]):
+            print(f"{bid},{o},{n},{s:.3f},{sig}")
         return
 
     speedups.sort(reverse=True)
@@ -59,15 +71,18 @@ def main():
         import statistics
 
         vals = [s for s, *_ in speedups]
+        n_sig = sum(1 for t in speedups if t[4] != "noise")
         print(f"speedup: median {statistics.median(vals):.3f}x, "
               f"mean {statistics.fmean(vals):.3f}x, "
-              f"min {min(vals):.3f}x, max {max(vals):.3f}x")
-        print(f"\ntop {args.top} improvements:")
-        for s, bid, o, n in speedups[: args.top]:
-            print(f"  {s:6.2f}x  {bid}: {o:.0f} -> {n:.0f} ns/poly")
-        regress = [t for t in speedups if t[0] < 0.97]
-        print(f"\nregressions (<0.97x): {len(regress)}")
-        for s, bid, o, n in sorted(regress)[: args.top]:
+              f"min {min(vals):.3f}x, max {max(vals):.3f}x; "
+              f"{n_sig} beyond measured spread, {len(vals) - n_sig} within noise")
+        print(f"\ntop {args.top} improvements (* = beyond spread):")
+        for s, bid, o, n, sig in speedups[: args.top]:
+            mark = "*" if sig == "improvement" else " "
+            print(f" {mark}{s:6.2f}x  {bid}: {o:.0f} -> {n:.0f} ns/poly")
+        regress = [t for t in speedups if t[4] == "regression"]
+        print(f"\nregressions beyond measured spread: {len(regress)}")
+        for s, bid, o, n, _sig in sorted(regress)[: args.top]:
             print(f"  {s:6.2f}x  {bid}: {o:.0f} -> {n:.0f} ns/poly")
     for name, errs in (("old", old_err), ("new", new_err)):
         if errs:

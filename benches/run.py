@@ -48,7 +48,15 @@ def _chain_time(step, args, k=K, reps=5):
     enforcement: the chain is lengthened until (t_K - t_1) >= ~30 ms of
     device work (tunnel RTT jitter is ~ms), and a non-positive delta is
     never floored — it raises so degenerate rows cannot be recorded
-    (round-1 grid had 4 such rows)."""
+    (round-1 grid had 4 such rows).
+
+    Returns (t_min, stats): t_min is the min-of-reps estimate (least
+    cross-process contention — the shared chip wobbles ±15%); stats carries
+    the dispersion of the per-rep interleaved estimates (criterion parity:
+    the reference records mean + std_dev per id,
+    /root/reference/ci/benchmark_parser.py:94-107 — here min/median/max
+    over >= `reps` interleaved t_K/t_1 pairs, which is the robust analogue
+    on a shared chip)."""
     import jax
     import jax.numpy as jnp
 
@@ -74,32 +82,44 @@ def _chain_time(step, args, k=K, reps=5):
     f1 = make(1)
     _ = np.asarray(f1(args))
 
-    def best_pair(fa, fb, r):
-        ba = bb = float("inf")
+    def timed_pairs(fa, fb, r):
+        """r interleaved (t_K, t_1) samples: A B A B …, so slow drift in
+        chip contention hits both sides of each difference equally."""
+        out = []
         for _i in range(r):
             t0 = time.perf_counter()
             np.asarray(fa(args))
-            ba = min(ba, time.perf_counter() - t0)
+            ta = time.perf_counter() - t0
             t0 = time.perf_counter()
             np.asarray(fb(args))
-            bb = min(bb, time.perf_counter() - t0)
-        return ba, bb
+            out.append((ta, time.perf_counter() - t0))
+        return out
 
     for _attempt in range(5):
         fK = make(k)
         _ = np.asarray(fK(args))
-        bK, b1 = best_pair(fK, f1, 2)
+        pairs = timed_pairs(fK, f1, 2)
+        bK = min(a for a, _ in pairs)
+        b1 = min(b for _, b in pairs)
         if bK - b1 >= 0.03 or k >= _K_CAP:
             break
         est = (bK - b1) / (k - 1) if bK > b1 else 0.0
         k = min(_K_CAP, max(2 * k, int(0.05 / est) if est > 0 else 8 * k))
-    bK, b1 = best_pair(fK, f1, reps)
-    delta = bK - b1
+    pairs = timed_pairs(fK, f1, reps)
+    delta = min(a for a, _ in pairs) - min(b for _, b in pairs)
     if delta <= 0:
         raise RuntimeError(
-            f"non-monotone chain delta (t_{k}={bK:.4f}s <= t_1={b1:.4f}s)"
+            f"non-monotone chain delta (t_{k}={min(a for a, _ in pairs):.4f}s"
+            f" <= t_1={min(b for _, b in pairs):.4f}s)"
         )
-    return delta / (k - 1)
+    ests = sorted((a - b) / (k - 1) for a, b in pairs if a > b)
+    stats = {
+        "t_med": ests[len(ests) // 2],
+        "t_max": ests[-1],
+        "reps": len(ests),
+        "k": k,
+    }
+    return delta / (k - 1), stats
 
 
 def _prime_benches(ns, want=lambda bid: True):
@@ -505,11 +525,11 @@ def main():
             if not want(bid):
                 continue
             try:
-                t = _chain_time(fn, x)
+                t, stats = _chain_time(fn, x)
                 floor_ns = _roofline_floor_ns(x, batch)
                 suspect = t / batch * 1e9 < floor_ns
                 if suspect:  # impossible: below the HBM roofline — once more
-                    t = _chain_time(fn, x)
+                    t, stats = _chain_time(fn, x)
                     suspect = t / batch * 1e9 < floor_ns
             except Exception as exc:  # pragma: no cover - report and continue
                 err = {"id": bid, "error": str(exc)[:200]}
@@ -524,6 +544,11 @@ def main():
                 "batch": batch,
                 "ns_per_poly": round(t / batch * 1e9, 1),
                 "polys_per_sec": round(batch / t, 1),
+                # dispersion over interleaved reps (criterion mean+std_dev
+                # parity; answers "is a cross-grid delta real or wobble?")
+                "ns_per_poly_med": round(stats["t_med"] / batch * 1e9, 1),
+                "ns_per_poly_max": round(stats["t_max"] / batch * 1e9, 1),
+                "reps": stats["reps"],
                 "type": "latency",  # parity: ci/benchmark_parser.py:151
             }
             if suspect:

@@ -316,7 +316,9 @@ def _hybrid_deployable() -> bool:
 
     if interpret_mode() or not _on_tpu():
         return True
-    return os.path.exists(hybrid_hw_verified_marker())
+    from .pallas_env import marker_valid
+
+    return marker_valid(hybrid_hw_verified_marker())
 
 
 def _hybrid64_wanted(n: int, p: int) -> bool:

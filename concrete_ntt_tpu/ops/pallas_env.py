@@ -22,6 +22,40 @@ def interpret_mode() -> bool:
     return bool(os.environ.get("CONCRETE_NTT_TPU_PALLAS_INTERPRET"))
 
 
+def kernel_tree_hash() -> str:
+    """sha256 over every source file in ops/ — the modules that define the
+    on-device kernels (and their dispatch gates) a hardware parity run
+    certifies. Markers record this hash; a marker whose hash differs from
+    the current tree was written for DIFFERENT kernel code and no longer
+    certifies anything (round-4 advisor finding: markers restored for one
+    commit stayed valid after later kernel edits). Hashing the whole ops/
+    directory over-invalidates on comment-only edits, which is the safe
+    direction — a stale-looking marker only costs a parity re-run."""
+    import hashlib
+
+    h = hashlib.sha256()
+    d = os.path.dirname(os.path.abspath(__file__))
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".py"):
+            h.update(name.encode())
+            with open(os.path.join(d, name), "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
+def marker_valid(path: str) -> bool:
+    """True iff the hardware-verification marker at `path` exists AND was
+    written against the current kernel tree (records the current
+    kernel_tree_hash()). Old-format markers without a hash line are treated
+    as stale: the hardware run they attest to cannot be tied to this code."""
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return False
+    return f"kernels {kernel_tree_hash()}" in text
+
+
 def smallb_hw_verified_marker() -> str:
     """Marker dropped by an all-PASS tools/tpu_parity.py run (which includes
     the sub-8 batch-tile kernel shapes): until it exists, real-TPU kernels
@@ -55,7 +89,7 @@ def small_batch_tiles() -> bool:
         on_tpu = False
     if not on_tpu:
         return True
-    return os.path.exists(smallb_hw_verified_marker())
+    return marker_valid(smallb_hw_verified_marker())
 
 
 def batch_tile(b: int, bt_max: int = 8) -> int:

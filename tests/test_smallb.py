@@ -61,8 +61,13 @@ def test_smallb_gate_requires_marker_on_tpu(monkeypatch, tmp_path):
     monkeypatch.setenv("CONCRETE_NTT_TPU_SMALLB", "1")
     assert pallas_env.small_batch_tiles()
     monkeypatch.delenv("CONCRETE_NTT_TPU_SMALLB")
+    # a marker without the current kernel-tree hash is STALE (round-4
+    # advisor: verification must be tied to the kernel code it ran on)
     with open(pallas_env.smallb_hw_verified_marker(), "w") as f:
         f.write("test\n")
+    assert not pallas_env.small_batch_tiles()
+    with open(pallas_env.smallb_hw_verified_marker(), "w") as f:
+        f.write(f"test\nkernels {pallas_env.kernel_tree_hash()}\n")
     assert pallas_env.small_batch_tiles()
 
 

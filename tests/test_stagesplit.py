@@ -174,9 +174,15 @@ def test_hybrid_hw_marker_gate(monkeypatch, tmp_path):
     monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "1")
     assert nd._hybrid_deployable()
     monkeypatch.delenv("CONCRETE_NTT_TPU_HYBRID")
-    # the parity run's marker flips it on
+    # a marker for a DIFFERENT kernel tree does not count (round-4 advisor)
     with open(nd.hybrid_hw_verified_marker(), "w") as f:
-        f.write("test\n")
+        f.write("test\nkernels " + "0" * 64 + "\n")
+    assert not nd._hybrid_deployable()
+    # the parity run's marker (current kernel-tree hash) flips it on
+    from concrete_ntt_tpu.ops.pallas_env import kernel_tree_hash
+
+    with open(nd.hybrid_hw_verified_marker(), "w") as f:
+        f.write(f"test\nkernels {kernel_tree_hash()}\n")
     assert nd._hybrid_deployable()
 
 

@@ -45,10 +45,17 @@ def main():
         c, d = carry
         return (plan.negacyclic_polymul(c, d), c)
 
+    # the stacked fast path is MXU-gated: under 'auto' on CPU it returns
+    # None (round-4 advisor: the assert crashed the CPU smoke run) — force
+    # the MXU engine + interpret mode there so the planar leg still runs
+    if jax.devices()[0].platform != "tpu":
+        os.environ.setdefault("CONCRETE_NTT_TPU_ENGINE", "mxu")
+        os.environ.setdefault("CONCRETE_NTT_TPU_PALLAS_INTERPRET", "1")
+
     def step_planar(carry):
         (clo, chi), (dlo, dhi) = carry
         out = nd.try_polymul32_stacked((clo, chi), (dlo, dhi), plan.plans)
-        assert out is not None
+        assert out is not None, "stacked fast path unavailable for this config"
         mods = [out[i] for i in range(len(primes))]
         lo, hi = crt.rec_u64_from5(mods, primes)
         return ((lo, hi), (clo, chi))

@@ -47,23 +47,41 @@ def main() -> int:
         return 1
 
     head = _git("rev-parse", "HEAD")
-    log_commit = _git("log", "-1", "--format=%H", "--", log)
-    if head != log_commit:
-        print(
-            f"HEAD {head[:12]} != {log} commit {log_commit[:12]}: kernel code may "
-            "have changed since the hardware run; re-run `make parity`"
-        )
-        return 1
-    dirty = _git("status", "--porcelain", "--", "concrete_ntt_tpu")
-    if dirty:
-        print(f"uncommitted kernel changes:\n{dirty}\nre-run `make parity`")
-        return 1
-
     sys.path.insert(0, REPO)
     from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
-    from concrete_ntt_tpu.ops.pallas_env import smallb_hw_verified_marker
+    from concrete_ntt_tpu.ops.pallas_env import kernel_tree_hash, smallb_hw_verified_marker
 
-    provenance = f"restored from {log} ({m.group(1)} PASS) at commit {head}\n"
+    khash = kernel_tree_hash()
+    logged = re.search(r"kernels ([0-9a-f]{64})", text)
+    if logged is not None:
+        # the log records the kernel-tree hash the hardware run actually
+        # executed (written by tpu_parity.py itself, not inferred from git
+        # history) — the current tree must hash identically
+        if logged.group(1) != khash:
+            print(
+                f"{log} verified kernel tree {logged.group(1)[:12]}…, current "
+                f"ops/ hashes to {khash[:12]}…: kernel code changed since the "
+                "hardware run; re-run `make parity`"
+            )
+            return 1
+    else:
+        # legacy log without an embedded hash: fall back to commit identity
+        log_commit = _git("log", "-1", "--format=%H", "--", log)
+        if head != log_commit:
+            print(
+                f"HEAD {head[:12]} != {log} commit {log_commit[:12]}: kernel code "
+                "may have changed since the hardware run; re-run `make parity`"
+            )
+            return 1
+        dirty = _git("status", "--porcelain", "--", "concrete_ntt_tpu")
+        if dirty:
+            print(f"uncommitted kernel changes:\n{dirty}\nre-run `make parity`")
+            return 1
+
+    provenance = (
+        f"restored from {log} ({m.group(1)} PASS) at commit {head}\n"
+        f"kernels {khash}\n"
+    )
     for path in (hybrid_hw_verified_marker(), smallb_hw_verified_marker()):
         with open(path, "w") as f:
             f.write(provenance)

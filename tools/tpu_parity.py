@@ -66,11 +66,34 @@ def check_pair(name, got, want):
         check(f"{name}.{nm}", g, w)
 
 
+def _head_commit() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     t0 = time.time()
+
+    # The log itself records exactly what was verified (round-4 advisor:
+    # a log committed alongside later kernel edits must not be trusted for
+    # them) — restore_markers.py checks this hash against the current tree.
+    from concrete_ntt_tpu.ops.pallas_env import kernel_tree_hash
+
+    commit = _head_commit()
+    khash = kernel_tree_hash()
+    print(f"# tpu_parity HEAD={commit} kernels {khash}", flush=True)
 
     import jax.numpy as jnp
 
@@ -520,20 +543,12 @@ def main():
         from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
         from concrete_ntt_tpu.ops.pallas_env import smallb_hw_verified_marker
 
-        try:
-            import subprocess
-
-            commit = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                capture_output=True,
-                text=True,
-            ).stdout.strip()
-        except Exception:
-            commit = "unknown"
         for path in (hybrid_hw_verified_marker(), smallb_hw_verified_marker()):
             with open(path, "w") as f:
-                f.write(f"all {N_CHECKS} checks passed in {dt:.0f}s at commit {commit}\n")
+                f.write(
+                    f"all {N_CHECKS} checks passed in {dt:.0f}s at commit "
+                    f"{commit}\nkernels {khash}\n"
+                )
             print(f"hardware-verification marker written: {path}", flush=True)
 
 
