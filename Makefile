@@ -6,12 +6,13 @@ PY ?= python
 .PHONY: test test-fast bench bench-full bench-headline scaling native clean \
 	baseline lint parity ci
 
-# one-command release gate: lint -> full CPU suite (incl. interpret-mode
-# kernel parity) -> if a real TPU answers a bounded probe, hardware parity
-# (writes the hybrid hardware-verification marker on all-PASS) + headline
-# bench. TPU legs self-skip with a reason when the tunnel is down.
+# one-command release gate: lint -> CPU suite (incl. interpret-mode kernel
+# parity; fast leg skips `-m slow` tests) -> if a real TPU answers a bounded
+# probe, hardware parity (writes the hybrid hardware-verification marker on
+# all-PASS) + headline bench. TPU legs self-skip with a reason when the
+# tunnel is down. `make ci FULL=1` runs the slow tests too (nightly leg).
 ci:
-	$(PY) tools/ci_gate.py
+	FULL=$(FULL) $(PY) tools/ci_gate.py
 
 # static-analysis gate, warnings-as-errors (clippy -D warnings parity,
 # reference Makefile:51-63; this image has no ruff/mypy, so the gate is the
@@ -30,7 +31,7 @@ test:
 	$(PY) -m pytest tests/ -q
 
 test-fast:
-	$(PY) -m pytest tests/ -q -x --ignore=tests/test_parallel.py
+	$(PY) -m pytest tests/ -q -x -m "not slow"
 
 # criterion-parity grid (representative sizes)
 bench:

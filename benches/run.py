@@ -489,6 +489,16 @@ def _roofline_floor_ns(args, batch=BATCH) -> float:
 
 
 def main():
+    # persistent compilation cache: grid re-runs skip the 20-40s compiles
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/concrete_ntt_tpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="reference's full n grid")
     ap.add_argument("--ids", nargs="*", help="only run these bench ids")

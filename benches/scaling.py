@@ -144,6 +144,77 @@ def north_star(args):
         d *= 2
 
 
+def virtual_mesh_rows(args):
+    """2/4/8-device VIRTUAL-mesh rows for the north-star workload: bit-
+    exactness vs the single-device plan plus the compiled collective count
+    (the SCALING.md §1 model, machine-checked per mesh). These are
+    correctness/structure rows, NOT performance — the CPU backend's
+    'collectives' are shared-memory copies — and are labeled non_perf so
+    no one mistakes them for the pod measurement the ≥85% target needs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from concrete_ntt_tpu import native128
+    from concrete_ntt_tpu.parallel.channels import ChannelShardedNative
+
+    n = args.n if args.n != (1 << 14) else (1 << 16)
+    plan = native128.Plan32.try_new(n)
+    assert plan is not None
+    rng = np.random.default_rng(0)
+    B = 2
+    lhs = rng.integers(0, 1 << 32, (B, n, 4), dtype=np.uint32)
+    rhs = rng.integers(0, 1 << 32, (B, n, 4), dtype=np.uint32)
+    want = np.asarray(plan.negacyclic_polymul(lhs, rhs))
+
+    rows = []
+    for dp, ch, sp in ((1, 2, 1), (1, 2, 2), (2, 2, 2)):
+        d = dp * ch * sp
+        if d > len(jax.devices()):
+            break
+        mesh = jax.make_mesh((dp, ch, sp), ("dp", "ch", "sp"))
+        sharded = ChannelShardedNative(
+            plan, mesh, ch_axis="ch", batch_axis="dp", sp_axis="sp"
+        )
+        got = np.asarray(sharded.negacyclic_polymul(lhs, rhs))
+        bit_exact = bool(np.array_equal(got, want))
+
+        k = len(plan.primes)
+        val = NamedSharding(mesh, sharded._val_spec)
+        parts = tuple(
+            jax.ShapeDtypeStruct((B, sharded.n1, sharded.n2), jnp.uint32,
+                                 sharding=val)
+            for _ in range(2 * sharded.n_limbs)
+        )
+
+        @jax.jit
+        def full(*flat, sharded=sharded, mesh=mesh):
+            res = sharded._polymul_sharded(*flat, *sharded._consts)
+            res = jax.sharding.reshard(
+                res, NamedSharding(mesh, P(None, "dp", None, None))
+            )
+            return plan._reconstruct([res.reshape(k, B, n)[i] for i in range(k)])
+
+        txt = full.lower(*parts).compile().as_text()
+        colls = {
+            op: txt.count(f" {op}(") + txt.count(f" {op}-start(")
+            for op in ("all-to-all", "all-gather", "all-reduce",
+                       "collective-permute", "reduce-scatter")
+        }
+        row = {
+            "workload": f"native128_polymul_n2^{n.bit_length() - 1}",
+            "devices": d,
+            "mesh": {"dp": dp, "ch": ch, "sp": sp},
+            "backend": "cpu-virtual",
+            "non_perf": True,
+            "bit_exact": bit_exact,
+            "collectives": colls,
+        }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    return rows
+
+
 def main():
     # The axon TPU plugin ignores the JAX_PLATFORMS *environment variable*;
     # honor it explicitly so CPU-mesh smoke runs work (tests/conftest.py note)
@@ -162,7 +233,15 @@ def main():
         action="store_true",
         help="batched native128 @ N=2^16, dp x ch x sp channel sharding",
     )
+    ap.add_argument(
+        "--virtual",
+        action="store_true",
+        help="2/4/8-device virtual-mesh correctness + collective-count rows "
+        "(non-perf; run with JAX_PLATFORMS=cpu and an 8-device XLA_FLAGS)",
+    )
     args = ap.parse_args()
+    if args.virtual:
+        return virtual_mesh_rows(args)
     if args.north_star:
         return north_star(args)
 

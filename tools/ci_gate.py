@@ -51,13 +51,20 @@ def tpu_reachable() -> bool:
 
 def main() -> int:
     py = sys.executable
+    # Fast leg by default (round-4 verdict item 7: the full CPU suite crept
+    # to ~18-35 min under contention and dominated the gate): tests marked
+    # `slow` (sharded composition, large-N, property sweeps) are excluded
+    # unless --full / FULL=1, which is the nightly/release invocation.
+    full = "--full" in sys.argv[1:] or os.environ.get("FULL") == "1"
     ok = True
     ok &= run("lint", [py, "tools/lint.py"])
-    # Full CPU suite (conftest forces the CPU backend + virtual 8-device
+    # CPU suite (conftest forces the CPU backend + virtual 8-device
     # mesh; includes interpret-mode parity for every production kernel via
     # tests/test_pallas_interpret.py and the hybrid/sharded composition
     # suites).
-    ok &= run("tests", [py, "-m", "pytest", "tests/", "-q"], timeout=3600)
+    sel = [] if full else ["-m", "not slow"]
+    ok &= run("tests" + ("" if full else " (fast leg: -m 'not slow')"),
+              [py, "-m", "pytest", "tests/", "-q", *sel], timeout=5400)
     if not ok:
         print("\nci: FAILED before hardware legs", flush=True)
         return 1

@@ -95,6 +95,15 @@ def main():
     khash = kernel_tree_hash()
     print(f"# tpu_parity HEAD={commit} kernels {khash}", flush=True)
 
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/concrete_ntt_tpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from concrete_ntt_tpu.ops import mxu32, mxu32_pallas, mxu64, mxu64_pallas
