@@ -113,6 +113,7 @@ def test_native64_plan52_polymul_sharded_bit_exact(rng, mesh52):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_native64_plan52_sharded_with_sp(rng):
     """ch × sp composition for the plan52 tier (one all_to_all per
     transform inside the same shard_map)."""

@@ -188,6 +188,7 @@ def test_try_new_invalid_n():
 # -- planar limb-tuple format (the performance format) ------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tier", ["plan32", "plan52"])
 def test_native64_planar_polymul_matches_interleaved(tier, rng):
     """Planar (lo, hi) tuples are the zero-marshalling device format

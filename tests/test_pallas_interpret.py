@@ -377,6 +377,7 @@ def test_mxu64_channel_grid_pointwise_inv_multi_vs_xla(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_native64_polymul_through_pallas_kernels(rng, monkeypatch):
     from concrete_ntt_tpu import native64
 
@@ -449,6 +450,7 @@ def test_native_binary64_polymul_through_pallas_kernels(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_native64_plan52_fwd_through_pallas_kernels(rng, monkeypatch):
     from concrete_ntt_tpu import native64
 

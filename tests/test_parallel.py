@@ -105,6 +105,7 @@ def test_fourstep_rejects_tiny_n(cpu_mesh_devices):
         make_sharded_prime32(plan, mesh)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sp", [2, 4])
 def test_fourstep_mxu_matches_single_chip(sp, rng, cpu_mesh_devices, monkeypatch):
     from concrete_ntt_tpu.parallel.fourstep_mxu import make_sharded_prime32_mxu
@@ -128,6 +129,7 @@ def test_fourstep_mxu_matches_single_chip(sp, rng, cpu_mesh_devices, monkeypatch
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sp", [2, 4])
 def test_fourstep_mxu64_matches_single_chip(sp, rng, cpu_mesh_devices, monkeypatch):
     """prime64 sharded four-step (limb pairs): Plan52/Goldilocks multi-chip."""

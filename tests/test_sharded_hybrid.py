@@ -20,6 +20,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import pytest
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -49,6 +50,7 @@ def _hybrid_env(monkeypatch):
     monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "1")
 
 
+@pytest.mark.slow
 def test_hybrid64_engages_inside_shard_map(rng, cpu_mesh_devices, monkeypatch):
     """prime64 fwd+inv at n=2^15 through ntt_dispatch INSIDE a dp-sharded
     shard_map local section: the hybrid tier must engage (call spy) and the
@@ -102,6 +104,7 @@ def test_hybrid64_engages_inside_shard_map(rng, cpu_mesh_devices, monkeypatch):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_polymul32_stacked_hybrid_inside_shard_map(rng, cpu_mesh_devices,
                                                    monkeypatch):
     """The flagship stacked plan32 polymul fast path (5 prime32 channels,
@@ -154,6 +157,7 @@ def test_polymul32_stacked_hybrid_inside_shard_map(rng, cpu_mesh_devices,
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_channel_sharded_52_at_2pow15_vs_hybrid_single_device(
     rng, cpu_mesh_devices, monkeypatch
 ):
@@ -179,6 +183,7 @@ def test_channel_sharded_52_at_2pow15_vs_hybrid_single_device(
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_channel_sharded_32_sp_at_2pow15_vs_hybrid_single_device(
     rng, cpu_mesh_devices, monkeypatch
 ):
