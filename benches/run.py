@@ -113,6 +113,8 @@ def _chain_time(step, args, k=K, reps=5):
             f" <= t_1={min(b for _, b in pairs):.4f}s)"
         )
     ests = sorted((a - b) / (k - 1) for a, b in pairs if a > b)
+    if not ests:
+        raise RuntimeError(f"no positive per-rep chain delta at k={k}")
     stats = {
         "t_med": ests[len(ests) // 2],
         "t_max": ests[-1],
