@@ -49,52 +49,80 @@ def _resolve_p(n: int, spec: str) -> int:
     return named[spec]() if spec in named else int(spec)
 
 
-def _tiers(n: int, p: int):
+def _scale(n: int, p: int, width: int) -> int:
+    return pow(n, p - 2, p) * pow(2, width, p) % p
+
+
+def _tiers(n: int, p: int, direction: str = "fwd"):
     from concrete_ntt_tpu.ops import mxu64, ntt_dispatch, stagesplit
 
     tiers = {}
+    inv = direction == "inv"
+    s = _scale(n, p, 64)
     if ntt_dispatch._pallas_impls_runnable():
         from concrete_ntt_tpu.ops import mxu64_pallas
 
         if mxu64_pallas.fused_applicable(n):
-            tiers["fused"] = lambda limbs: mxu64_pallas.fwd(limbs, n=n, p=p)
+            tiers["fused"] = (
+                (lambda limbs: mxu64_pallas.inv(limbs, n=n, p=p, scale=s))
+                if inv else (lambda limbs: mxu64_pallas.fwd(limbs, n=n, p=p))
+            )
         if mxu64_pallas.passes_applicable(n):
-            tiers["passes"] = lambda limbs: mxu64_pallas.passes_engine64.fwd(
-                limbs, n=n, p=p
+            pe = mxu64_pallas.passes_engine64
+            tiers["passes"] = (
+                (lambda limbs: pe.inv(limbs, n=n, p=p, scale=s))
+                if inv else (lambda limbs: pe.fwd(limbs, n=n, p=p))
             )
         if stagesplit.applicable64(n, p):
-            tiers["hybrid"] = lambda limbs: stagesplit.fwd64_fused(
-                limbs, n=n, p=p
+            tiers["hybrid"] = (
+                (lambda limbs: stagesplit.inv64_fused(limbs, n=n, p=p, scale=s))
+                if inv else (lambda limbs: stagesplit.fwd64_fused(limbs, n=n, p=p))
             )
-    tiers["xla"] = lambda limbs: mxu64.fwd(limbs, n=n, p=p)
+    tiers["xla"] = (
+        (lambda limbs: mxu64.inv(limbs, n=n, p=p, scale=s))
+        if inv else (lambda limbs: mxu64.fwd(limbs, n=n, p=p))
+    )
     return tiers
 
 
-def _tiers32(n: int, p: int):
-    """prime32 fwd tiers: stage-split hybrid (fused + XLA block cores),
+def _tiers32(n: int, p: int, direction: str = "fwd"):
+    """prime32 fwd/inv tiers: stage-split hybrid (fused + XLA block cores),
     direct fused whole-transform kernel, pass kernels, pure-XLA stages."""
     from concrete_ntt_tpu.ops import mxu32, ntt_dispatch, stagesplit
     from concrete_ntt_tpu.prime32 import _variant
 
     variant = _variant(p)
+    inv = direction == "inv"
+    s = _scale(n, p, 32)
     tiers = {}
     if ntt_dispatch._pallas_impls_runnable():
         from concrete_ntt_tpu.ops import mxu32_pallas
 
         if mxu32_pallas.fused_applicable(n):
-            tiers["fused"] = lambda x: mxu32_pallas.fwd(x, n=n, p=p)
+            tiers["fused"] = (
+                (lambda x: mxu32_pallas.inv(x, n=n, p=p, scale=s))
+                if inv else (lambda x: mxu32_pallas.fwd(x, n=n, p=p))
+            )
         if n >= 2048:  # pass kernels + XLA transpose (ntt_dispatch._mxu_impl)
-            tiers["passes"] = lambda x: mxu32_pallas.passes_engine.fwd(
-                x, n=n, p=p
+            pe = mxu32_pallas.passes_engine
+            tiers["passes"] = (
+                (lambda x: pe.inv(x, n=n, p=p, scale=s))
+                if inv else (lambda x: pe.fwd(x, n=n, p=p))
             )
         if stagesplit.applicable32(n, p, variant):
-            tiers["hybrid"] = lambda x: stagesplit.fwd32_fused(x, n=n, p=p)
+            tiers["hybrid"] = (
+                (lambda x: stagesplit.inv32_fused(x, n=n, p=p, scale=s))
+                if inv else (lambda x: stagesplit.fwd32_fused(x, n=n, p=p))
+            )
     if mxu32.applicable(n, p, variant):
-        tiers["xla"] = lambda x: mxu32.fwd(x, n=n, p=p)
+        tiers["xla"] = (
+            (lambda x: mxu32.inv(x, n=n, p=p, scale=s))
+            if inv else (lambda x: mxu32.fwd(x, n=n, p=p))
+        )
     return tiers
 
 
-def run_ab(n: int, p: int, label: str):
+def run_ab(n: int, p: int, label: str, direction: str = "fwd"):
     import jax.numpy as jnp
 
     from concrete_ntt_tpu.utils.profiling import chain_time
@@ -105,13 +133,13 @@ def run_ab(n: int, p: int, label: str):
             rng.integers(0, p, (BATCH, n), dtype=np.uint64).astype(np.uint32)
         )
         operands = (xs,)
-        tiers = _tiers32(n, p)
+        tiers = _tiers32(n, p, direction)
     else:
         x = rng.integers(0, p, (BATCH, n), dtype=np.uint64)
         lo = jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32))
         hi = jnp.asarray((x >> 32).astype(np.uint32))
         operands = ((lo, hi),)
-        tiers = _tiers(n, p)
+        tiers = _tiers(n, p, direction)
     # calibrate chain length per tier for >= 40 ms of device work (CLAUDE.md:
     # short chains leave tunnel jitter, ~ms, in the measurement)
     lengths = {}
@@ -138,10 +166,11 @@ def run_ab(n: int, p: int, label: str):
 def main():
     specs = sys.argv[1:] or ["32768:p50", "32768:p51", "32768:p63", "32768:gl"]
     for spec in specs:
-        ns, ps = spec.split(":")
-        n = int(ns)
-        p = _resolve_p(n, ps)
-        run_ab(n, p, spec)
+        parts = spec.split(":")
+        n = int(parts[0])
+        p = _resolve_p(n, parts[1])
+        direction = parts[2] if len(parts) > 2 else "fwd"
+        run_ab(n, p, spec, direction)
 
 
 if __name__ == "__main__":
