@@ -79,11 +79,18 @@ def _mxu_impl(n):
 
 
 def _hybrid32_multi_wanted(n, plans) -> bool:
-    """Channel-grid stage-split hybrid for native-plan prime32 channels
-    above 2^14 (same CONCRETE_NTT_TPU_HYBRID knob)."""
-    if os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto") == "0":
+    """Channel-grid stage-split hybrid for native-plan prime32 channels —
+    OFF in 'auto' since round 5: the 32-bit hybrid measured slower than the
+    direct fused kernels at every size on hardware (single-prime A/B,
+    benches/logs_r05/ab_tiers32_*.log: inv −15% at 2^15, fwd −38% at 2^16,
+    −2.5x at 2^17; grid regressions native64-32-32768 / product-2xu32-32768
+    0.85x). The 32-bit fused kernel's tables stay small (4-5 digit planes),
+    so the 2^15 cliff the hybrid flattens for 64-bit channels never
+    materializes here. CONCRETE_NTT_TPU_HYBRID=1 still forces the tier on
+    for research; the kernels remain parity-covered."""
+    if os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto") != "1":
         return False
-    if not _pallas_impls_runnable() or not _hybrid_deployable():
+    if not _pallas_impls_runnable():
         return False
     from . import stagesplit
 
@@ -448,12 +455,11 @@ def try_pointwise_inv64_all(fl, fr, plans):
 
 
 def _hybrid32_wanted(n: int, p: int, variant: str) -> bool:
-    """Stage-split hybrid above the 2^14 MXU sweet spot (see
-    _hybrid64_wanted; same CONCRETE_NTT_TPU_HYBRID knob + marker gate)."""
+    """32-bit stage-split hybrid — OFF in 'auto' since round 5 (see
+    _hybrid32_multi_wanted: measured slower than the direct fused kernel at
+    2^15/2^16/2^17 in every regime). =1 forces it on for research."""
     env = os.environ.get("CONCRETE_NTT_TPU_HYBRID", "auto")
-    if env == "0":
-        return False
-    if not _hybrid_deployable():
+    if env != "1":
         return False
     from . import stagesplit
 

@@ -224,7 +224,10 @@ def test_dispatch_hybrid32_at_2pow15_matches_direct(rng, monkeypatch):
     plan = prime32.Plan.new(n, p)
     want_f = np.asarray(plan.fwd(x))
     want_i = np.asarray(plan.inv(x))
-    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "auto")
+    # the 32-bit hybrid is off in 'auto' since round 5 (slower than the
+    # direct fused kernels at every size on hardware); =1 forces it so the
+    # tier stays bit-exactness-covered
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "1")
     np.testing.assert_array_equal(np.asarray(plan.fwd(x)), want_f)
     np.testing.assert_array_equal(np.asarray(plan.inv(x)), want_i)
 
@@ -354,7 +357,8 @@ def test_native32ch_polymul_hybrid_dispatch_bit_exact(rng, monkeypatch):
     b = rng.integers(0, 1 << 64, (1, n), dtype=np.uint64)
     monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "0")
     want = np.asarray(plan.negacyclic_polymul(a, b))
-    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "auto")
+    # forced: the 32-bit channel hybrid is off in 'auto' since round 5
+    monkeypatch.setenv("CONCRETE_NTT_TPU_HYBRID", "1")
     got = np.asarray(plan.negacyclic_polymul(a, b))
     np.testing.assert_array_equal(got, want)
 

@@ -293,6 +293,58 @@ def main():
             check_pair(f"hybrid64.pointwise_inv_multi n={n} ch{i}",
                        (lo[i], hi[i]), want)
 
+    # --- direct channel-grid kernels at n = 2^15 (round 5: these serve the
+    # native-plan polymuls at 32768 now that the 32-bit hybrid is off in
+    # 'auto' — measured slower than the direct kernels at every size) ------
+    if not args.quick:
+        n15 = 1 << 15
+        pr5 = PRIMES32[:5]
+        limbs15 = (mk32(8, n15), mk32(8, n15))
+        m15 = np.asarray(
+            run(lambda l: mxu32_pallas.fwd_wide_multi(l, pr5), limbs15)
+        )
+        for i, p in enumerate(pr5[:2]):
+            check(f"mxu32.fwd_wide_multi n={n15} ch{i}", m15[i],
+                  run(mxu32.fwd_wide, limbs15, n=n15, p=p))
+        four15 = tuple(mk32(8, n15) for _ in range(4))
+        m4_15 = np.asarray(
+            run(lambda l: mxu32_pallas.fwd_wide_multi(l, pr5[:3]), four15)
+        )
+        for i, p in enumerate(pr5[:2]):
+            check(f"mxu32.fwd_wide_multi4 n={n15} ch{i}", m4_15[i],
+                  run(mxu32.fwd_wide, four15, n=n15, p=p))
+        scales15 = tuple(pow(n15, p - 2, p) * pow(2, 32, p) % p for p in pr5)
+        xs15 = mk32(5, 8, n15)
+        mi15 = np.asarray(
+            run(lambda v: mxu32_pallas.inv_multi(v, pr5, scales15), xs15)
+        )
+        for i, p in enumerate(pr5[:2]):
+            check(f"mxu32.inv_multi n={n15} ch{i}", mi15[i],
+                  run(mxu32.inv, xs15[i], n=n15, p=p, scale=scales15[i]))
+        pr3_15 = pr5[:3]
+        sc3_15 = scales15[:3]
+        xs3 = mk32(3, 8, n15)
+        mp15 = np.asarray(
+            run(lambda v: mxu32_pallas.fwd_multi_perchannel(v, pr3_15), xs3)
+        )
+        for i, p in enumerate(pr3_15[:2]):
+            check(f"mxu32.fwd_multi_perchannel n={n15} ch{i}", mp15[i],
+                  run(mxu32.fwd, xs3[i], n=n15, p=p))
+        fl15, fr15 = mk32(3, 8, n15), mk32(3, 8, n15)
+        got15 = np.asarray(run(
+            lambda a, b: mxu32_pallas.pointwise_inv_multi(a, b, pr3_15, sc3_15),
+            fl15, fr15,
+        ))
+        for i, p in enumerate(pr3_15[:2]):
+            want15 = run(
+                lambda a, b, p=p, i=i: mxu32.inv(
+                    mont_mul(a, b, p, mont_neginv(p)), n=n15, p=p,
+                    scale=sc3_15[i],
+                ),
+                fl15[i], fr15[i],
+            )
+            check(f"mxu32.pointwise_inv_multi n={n15} ch{i}", got15[i], want15)
+
     # --- beyond-reference sizes (≡ 1 mod 2^18 family, n = 2^16 / 2^17) ----
     if not args.quick:
         from concrete_ntt_tpu.tables import primes32_ext
@@ -337,6 +389,31 @@ def main():
         for i, p in enumerate(pr_ext[:2]):
             check(f"mxu32.fwd_wide_multi4 ext n={n} ch{i}", m4_ext[i],
                   run(mxu32.fwd_wide, four_ext, n=n, p=p))
+        # product/polymul inverse compositions at 2^16 (serve directly now
+        # that the 32-bit hybrid is off in 'auto')
+        pr3_ext = pr_ext[:3]
+        sc3_ext = scales_ext[:3]
+        xs3_ext = mk32(3, 8, n)
+        mp_ext = np.asarray(
+            run(lambda v: mxu32_pallas.fwd_multi_perchannel(v, pr3_ext), xs3_ext)
+        )
+        for i, p in enumerate(pr3_ext[:2]):
+            check(f"mxu32.fwd_multi_perchannel ext n={n} ch{i}", mp_ext[i],
+                  run(mxu32.fwd, xs3_ext[i], n=n, p=p))
+        fle, fre = mk32(3, 8, n), mk32(3, 8, n)
+        gote = np.asarray(run(
+            lambda a, b: mxu32_pallas.pointwise_inv_multi(a, b, pr3_ext, sc3_ext),
+            fle, fre,
+        ))
+        for i, p in enumerate(pr3_ext[:2]):
+            wante = run(
+                lambda a, b, p=p, i=i: mxu32.inv(
+                    mont_mul(a, b, p, mont_neginv(p)), n=n, p=p,
+                    scale=sc3_ext[i],
+                ),
+                fle[i], fre[i],
+            )
+            check(f"mxu32.pointwise_inv_multi ext n={n} ch{i}", gote[i], wante)
 
     n = 1 << 14
     # --- mxu32 channel-grid (incl. the fixed in-kernel Montgomery) --------
