@@ -321,11 +321,19 @@ def _multi_tables(n: int, primes: tuple, n_limbs: int, scales: tuple,
 def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
                       scales: tuple, pointwise: bool, interp: bool = False,
                       perch_in: bool = False, hyb: tuple | None = None,
-                      bt: int = 8, hoist: bool | None = None):
+                      bt: int = 8, hoist: bool | None = None,
+                      presplit: bool = False):
     """perch_in=True (fwd only): the operand is [C, B, n] per limb with a
     DIFFERENT residue array per channel (e.g. the Bounded centered
     representation, product.rs:303-322, or the stage-split hybrid's prefix
-    outputs) instead of one shared limb array."""
+    outputs) instead of one shared limb array.
+
+    presplit=True (inv only, non-pointwise): the operand arrives as the
+    int8 digit planes `digit_planes32` emits ([C, B, n1, 4*n2], the exact
+    in-kernel _digit8 bit pattern), so the kernel skips its input digit
+    split — the split rides the producing XLA elementwise stage instead of
+    serializing against the MXU here. Equal HBM bytes (4/element)."""
+    assert not (presplit and (pointwise or direction != "inv"))
     tabs = _multi_tables(n, primes, n_limbs, scales, hyb)
     n1, n2 = tabs["n1"], tabs["n2"]
     C = len(primes)
@@ -391,10 +399,12 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
             if pointwise:
                 a = x_refs[0][0].reshape(bt, n1, n2)
                 b = x_refs[1][0].reshape(bt, n1, n2)
-                v = _sc_mont_mul(a, b, sc_ref)
+                xd1 = _digit8(_sc_mont_mul(a, b, sc_ref))
+            elif presplit:
+                xd1 = x_refs[0][0]
             else:
-                v = x_refs[0][0].reshape(bt, n1, n2)
-            lo, hi = _sc_combine(_dot8(_digit8(v), m1), cv1, n2)
+                xd1 = _digit8(x_refs[0][0].reshape(bt, n1, n2))
+            lo, hi = _sc_combine(_dot8(xd1, m1), cv1, n2)
             y = _sc_epilogue_scaled_lazy(lo, hi, dg, sc)
             y = jnp.swapaxes(y, 1, 2)
             lo, hi = _sc_combine(_dot8(_digit8(y), m2), cv2, n1)
@@ -408,7 +418,7 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
     d_shape = diag[0].shape[1:]
 
     def call(*xs):
-        bsz = xs[0].shape[-2]
+        bsz = xs[0].shape[1] if presplit else xs[0].shape[-2]
         grid = (bsz // bt, C)
         const_specs = [
             pl.BlockSpec((1, 1, 6), lambda i, c: (c, 0, 0), memory_space=pltpu.SMEM),
@@ -430,6 +440,14 @@ def _build_multi_call(n: int, primes: tuple, n_limbs: int, direction: str,
             in_specs = [
                 pl.BlockSpec((bt, n), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
                 for _ in range(n_in)
+            ]
+        elif presplit:
+            in_specs = [
+                pl.BlockSpec(
+                    (1, bt, n1, 4 * n2),
+                    lambda i, c: (c, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             ]
         else:
             in_specs = [
@@ -578,6 +596,41 @@ def inv_multi(x, primes: tuple, scales: tuple, hyb: tuple | None = None):
         False, hyb, bt,
     )
     out = call(x)
+    return out[:, :b] if pad else out
+
+
+def digit_planes32(x):
+    """XLA-side digit split of inverse-kernel input: [..., B, n] u32 (any
+    representatives) -> [..., B, n1, 4*n2] int8 with the EXACT in-kernel
+    _digit8 bit pattern (xor-128 planes, plane-major last axis). Meant to
+    ride the producing elementwise stage (e.g. the stacked polymul's XLA
+    Montgomery pointwise) — the planes are the same 4 bytes/element as the
+    u32 they replace, so the split costs no extra HBM."""
+    n = x.shape[-1]
+    n1, n2 = mxu32.four_step_factors(n)
+    return _digit8(x.reshape(x.shape[:-1] + (n1, n2)))
+
+
+def inv_multi_presplit(xd, primes: tuple, scales: tuple):
+    """All channels' scaled inverse NTTs from PRE-SPLIT digit planes
+    (digit_planes32 output): xd [C, B, n1, 4*n2] int8 -> [C, B, n]
+    standard-order residues. Bit-identical to inv_multi(x) for
+    xd = digit_planes32(x); skips the in-kernel VPU digit split, which
+    otherwise serializes against the MXU (round-5 profile: inv MFU 0.63)."""
+    n1, four_n2 = xd.shape[-2], xd.shape[-1]
+    n2 = four_n2 // 4
+    n = n1 * n2
+    assert (n1, n2) == mxu32.four_step_factors(n)
+    b = xd.shape[1]
+    bt = batch_tile(b, _B_TILE)
+    pad = (-b) % bt
+    if pad:
+        xd = jnp.pad(xd, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    call = _build_multi_call(
+        n, tuple(primes), 1, "inv", tuple(scales), False, interpret_mode(),
+        False, None, bt, presplit=True,
+    )
+    out = call(xd)
     return out[:, :b] if pad else out
 
 

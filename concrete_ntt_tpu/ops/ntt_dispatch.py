@@ -78,6 +78,30 @@ def _mxu_impl(n):
 
 
 
+def _presplit_wanted() -> bool:
+    """Round 5: the stacked polymul's inverse consumes int8 digit planes
+    emitted by the XLA Montgomery pointwise stage instead of u32 residues
+    (mxu32_pallas.digit_planes32 / inv_multi_presplit). Moves the in-kernel
+    VPU digit split (~0.33 µs/poly at n=2^14, serialized against the MXU)
+    into the HBM-bound pointwise chain at equal HBM bytes.
+
+    CONCRETE_NTT_TPU_PRESPLIT=1 forces on, =0 forces off (the A/B legs of
+    tools/ab_headline.py). Default 'auto' follows the hybrid/smallb marker
+    discipline: on under interpret/CPU (no Mosaic in the loop), on real TPU
+    only once an all-PASS tools/tpu_parity.py run — which checks the
+    presplit kernel shapes — has attested THIS kernel tree."""
+    env = os.environ.get("CONCRETE_NTT_TPU_PRESPLIT", "auto")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    from .pallas_env import interpret_mode, marker_valid, presplit_hw_verified_marker
+
+    if interpret_mode() or not _on_tpu():
+        return True
+    return marker_valid(presplit_hw_verified_marker())
+
+
 def _hybrid32_multi_wanted(n, plans) -> bool:
     """Channel-grid stage-split hybrid for native-plan prime32 channels —
     OFF in 'auto' since round 5: the 32-bit hybrid measured slower than the
@@ -277,6 +301,8 @@ def try_polymul32_stacked(parts_l, parts_r, plans, rhs_binary=False):
         from . import stagesplit
 
         return stagesplit.inv_multi_hybrid32(t, primes, scales, n=n)
+    if _presplit_wanted() and hasattr(eng, "inv_multi_presplit"):
+        return eng.inv_multi_presplit(eng.digit_planes32(t), primes, scales)
     return eng.inv_multi(t, primes, scales)
 
 

@@ -67,6 +67,16 @@ def smallb_hw_verified_marker() -> str:
     return os.path.join(d, "smallb_hw_verified_v1")
 
 
+def presplit_hw_verified_marker() -> str:
+    """Marker dropped by an all-PASS tools/tpu_parity.py run (which includes
+    the presplit inverse kernel shapes at n = 2^14..2^16 and b = 1): until
+    it exists, real-TPU 'auto' keeps the in-kernel-split inv_multi."""
+    from .table_cache import _cache_dir
+
+    d = _cache_dir() or "/tmp"
+    return os.path.join(d, "presplit_hw_verified_v1")
+
+
 def small_batch_tiles() -> bool:
     """Whether sub-8 batch tiles (bt in {1, 2, 4}) may serve B < 8 calls —
     the single-polynomial latency mitigation (round-3 verdict item 5: the

@@ -145,6 +145,47 @@ def test_channel_grid_inv_multi_vs_xla(rng):
         np.testing.assert_array_equal(got[i], want, err_msg=f"channel {i}")
 
 
+def test_channel_grid_inv_multi_presplit_matches_inv_multi(rng):
+    """Pre-split digit-plane input (digit_planes32 + inv_multi_presplit)
+    is bit-identical to the in-kernel-split inv_multi, including at a
+    padded batch."""
+    primes = PRIMES32[:3]
+    scales = tuple(_scale(N_BIG, p) for p in primes)
+    for b in (8, 5):
+        x = jnp.asarray(rng.integers(0, 1 << 32, (3, b, N_BIG), dtype=np.uint32))
+        want = np.asarray(mxu32_pallas.inv_multi(x, primes, scales))
+        xd = mxu32_pallas.digit_planes32(x)
+        assert xd.dtype == jnp.int8 and xd.shape[-2] * xd.shape[-1] == 4 * N_BIG
+        got = np.asarray(mxu32_pallas.inv_multi_presplit(xd, primes, scales))
+        np.testing.assert_array_equal(got, want, err_msg=f"b={b}")
+
+
+def test_polymul32_stacked_presplit_dispatch(rng, monkeypatch):
+    """CONCRETE_NTT_TPU_PRESPLIT=1 routes the stacked polymul inverse
+    through the pre-split path with an unchanged result."""
+    from concrete_ntt_tpu import native64
+    from concrete_ntt_tpu.ops import ntt_dispatch
+
+    monkeypatch.setenv("CONCRETE_NTT_TPU_ENGINE", "mxu")
+    plan = native64.Plan32.try_new(N_BIG)
+    assert plan is not None
+    parts_l = tuple(
+        jnp.asarray(rng.integers(0, 1 << 32, (8, N_BIG), dtype=np.uint32))
+        for _ in range(2)
+    )
+    parts_r = tuple(
+        jnp.asarray(rng.integers(0, 1 << 32, (8, N_BIG), dtype=np.uint32))
+        for _ in range(2)
+    )
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PRESPLIT", "0")
+    want = ntt_dispatch.try_polymul32_stacked(parts_l, parts_r, plan.plans)
+    assert want is not None
+    monkeypatch.setenv("CONCRETE_NTT_TPU_PRESPLIT", "1")
+    got = ntt_dispatch.try_polymul32_stacked(parts_l, parts_r, plan.plans)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_channel_grid_pointwise_inv_multi_vs_xla(rng):
     primes = PRIMES32[:3]
     fl = jnp.asarray(rng.integers(0, 1 << 32, (3, 8, N_BIG), dtype=np.uint32))

@@ -94,15 +94,29 @@ def main():
         lo, hi = crt.rec_u64_from5(fused, primes)
         return ((lo, hi), (llo, lhi))
 
+    def step_d(carry):
+        # A, but the XLA Montgomery stage emits int8 digit planes and the
+        # inverse kernel skips its in-kernel split (presplit tier, round 5)
+        (llo, lhi), (rlo, rhi) = carry
+        os.environ["CONCRETE_NTT_TPU_PRESPLIT"] = "1"
+        try:
+            out = nd.try_polymul32_stacked((llo, lhi), (rlo, rhi), plans)
+        finally:
+            os.environ["CONCRETE_NTT_TPU_PRESPLIT"] = "0"
+        assert out is not None
+        lo, hi = crt.rec_u64_from5([out[i] for i in range(len(primes))], primes)
+        return ((lo, hi), (llo, lhi))
+
     variants = [
         ("A-separate-pointwise-b8", step_a, 8),
         ("B-fused-pointwise-inv-b8", step_b, 8),
+        ("D-presplit-inv-b8", step_d, 8),
         ("A-separate-pointwise-b16", step_a, 16),
         ("A-separate-pointwise-b32", step_a, 32),
     ]
     rounds = 2
-    if on_cpu:  # interpret-mode smoke: one round, the two n=2^14 B=8 legs
-        variants, rounds = variants[:2], 1
+    if on_cpu:  # interpret-mode smoke: one round, the n=2^14 B=8 legs
+        variants, rounds = variants[:3], 1
     results = {}
     for _round in range(rounds):  # interleave the whole set, report min
         for name, step, b in variants:

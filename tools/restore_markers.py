@@ -49,7 +49,11 @@ def main() -> int:
     head = _git("rev-parse", "HEAD")
     sys.path.insert(0, REPO)
     from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
-    from concrete_ntt_tpu.ops.pallas_env import kernel_tree_hash, smallb_hw_verified_marker
+    from concrete_ntt_tpu.ops.pallas_env import (
+        kernel_tree_hash,
+        presplit_hw_verified_marker,
+        smallb_hw_verified_marker,
+    )
 
     khash = kernel_tree_hash()
     logged = re.search(r"kernels ([0-9a-f]{64})", text)
@@ -82,7 +86,11 @@ def main() -> int:
         f"restored from {log} ({m.group(1)} PASS) at commit {head}\n"
         f"kernels {khash}\n"
     )
-    for path in (hybrid_hw_verified_marker(), smallb_hw_verified_marker()):
+    for path in (
+        hybrid_hw_verified_marker(),
+        smallb_hw_verified_marker(),
+        presplit_hw_verified_marker(),
+    ):
         with open(path, "w") as f:
             f.write(provenance)
         print(f"marker restored: {path}")

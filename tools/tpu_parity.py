@@ -321,6 +321,15 @@ def main():
         for i, p in enumerate(pr5[:2]):
             check(f"mxu32.inv_multi n={n15} ch{i}", mi15[i],
                   run(mxu32.inv, xs15[i], n=n15, p=p, scale=scales15[i]))
+        mips15 = np.asarray(run(
+            lambda v: mxu32_pallas.inv_multi_presplit(
+                mxu32_pallas.digit_planes32(v), pr5, scales15
+            ),
+            xs15,
+        ))
+        for i in range(2):
+            check(f"mxu32.inv_multi_presplit n={n15} ch{i}",
+                  mips15[i], mi15[i])
         pr3_15 = pr5[:3]
         sc3_15 = scales15[:3]
         xs3 = mk32(3, 8, n15)
@@ -380,6 +389,15 @@ def main():
         for i, p in enumerate(pr_ext[:2]):
             check(f"mxu32.inv_multi ext n={n} ch{i}", mi_ext[i],
                   run(mxu32.inv, xs_ext[i], n=n, p=p, scale=scales_ext[i]))
+        mips_ext = np.asarray(run(
+            lambda v: mxu32_pallas.inv_multi_presplit(
+                mxu32_pallas.digit_planes32(v), pr_ext, scales_ext
+            ),
+            xs_ext,
+        ))
+        for i in range(2):
+            check(f"mxu32.inv_multi_presplit ext n={n} ch{i}",
+                  mips_ext[i], mi_ext[i])
         # 4-limb (u128 operand) channel-grid fwd at 2^16 — the kernel shape
         # behind the native128-32-65536 bench row (north-star single chip)
         four_ext = tuple(mk32(8, n) for _ in range(4))
@@ -446,6 +464,16 @@ def main():
     for i, p in enumerate(pr3):
         check(f"mxu32.inv_multi ch{i}", mi[i],
               run(mxu32.inv, xs[i], n=n, p=p, scale=scales[i]))
+    # pre-split digit-plane inverse (round-5 presplit tier): must equal the
+    # in-kernel-split inv_multi bit-for-bit on this chip
+    mips = np.asarray(run(
+        lambda v: mxu32_pallas.inv_multi_presplit(
+            mxu32_pallas.digit_planes32(v), pr3, scales
+        ),
+        xs,
+    ))
+    for i in range(len(pr3)):
+        check(f"mxu32.inv_multi_presplit ch{i}", mips[i], mi[i])
     fl, fr = mk32(3, 8, n), mk32(3, 8, n)
     got = np.asarray(run(lambda a, b: mxu32_pallas.pointwise_inv_multi(a, b, pr3, scales), fl, fr))
     for i, p in enumerate(pr3):
@@ -593,6 +621,14 @@ def main():
     for i, p in enumerate(pr3[:2]):
         check(f"smallb.mxu32.inv_multi b=1 ch{i}", mi1[i],
               run(mxu32.inv, xs1[i], n=n, p=p, scale=scales3[i]))
+    mips1 = np.asarray(run(
+        lambda v: mxu32_pallas.inv_multi_presplit(
+            mxu32_pallas.digit_planes32(v), pr3, scales3
+        ),
+        xs1,
+    ))
+    for i in range(2):
+        check(f"smallb.mxu32.inv_multi_presplit b=1 ch{i}", mips1[i], mi1[i])
     scales52 = tuple(pow(n, p - 2, p) * pow(2, 64, p) % p for p in pr52)
     lo, hi = run(lambda l: mxu64_pallas.fwd_multi(l, pr52), l1)
     for i, p in enumerate(pr52[:2]):
@@ -627,9 +663,16 @@ def main():
 
     if not args.quick and jax.devices()[0].platform == "tpu":
         from concrete_ntt_tpu.ops.ntt_dispatch import hybrid_hw_verified_marker
-        from concrete_ntt_tpu.ops.pallas_env import smallb_hw_verified_marker
+        from concrete_ntt_tpu.ops.pallas_env import (
+            presplit_hw_verified_marker,
+            smallb_hw_verified_marker,
+        )
 
-        for path in (hybrid_hw_verified_marker(), smallb_hw_verified_marker()):
+        for path in (
+            hybrid_hw_verified_marker(),
+            smallb_hw_verified_marker(),
+            presplit_hw_verified_marker(),
+        ):
             with open(path, "w") as f:
                 f.write(
                     f"all {N_CHECKS} checks passed in {dt:.0f}s at commit "
