@@ -28,6 +28,10 @@ class Plan32(NativePlanBase):
         return cls(n=n, width=64, primes=primes, plans=plans, tier="plan32")
 
     def _reconstruct(self, residues):
+        from . import crt_mxu
+
+        if crt_mxu.mxu_lift_enabled():
+            return crt_mxu.rec_u64_from5(residues, self.primes)
         return crt_ops.rec_u64_from5(residues, self.primes)
 
     def ntt_0(self):

@@ -24,6 +24,10 @@ class Plan32(NativePlanBase):
         return cls(n=n, width=128, primes=primes, plans=plans, tier="plan32")
 
     def _reconstruct(self, residues):
+        from . import crt_mxu
+
+        if crt_mxu.mxu_lift_enabled():
+            return crt_mxu.rec_u128_from5(residues, self.primes)
         return crt_ops.rec_u128_from5(residues, self.primes)
 
     def negacyclic_polymul(self, lhs, rhs, rhs_binary: bool = True):

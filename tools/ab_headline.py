@@ -78,8 +78,15 @@ def main():
         )
 
     def step_a(carry):
+        # force the in-kernel-split inverse: with the presplit marker
+        # present, 'auto' would otherwise serve presplit here too and the
+        # A-vs-D comparison would measure the same pipeline twice
         (llo, lhi), (rlo, rhi) = carry
-        out = nd.try_polymul32_stacked((llo, lhi), (rlo, rhi), plans)
+        os.environ["CONCRETE_NTT_TPU_PRESPLIT"] = "0"
+        try:
+            out = nd.try_polymul32_stacked((llo, lhi), (rlo, rhi), plans)
+        finally:
+            os.environ.pop("CONCRETE_NTT_TPU_PRESPLIT", None)
         assert out is not None
         lo, hi = crt.rec_u64_from5([out[i] for i in range(len(primes))], primes)
         return ((lo, hi), (llo, lhi))
@@ -102,7 +109,7 @@ def main():
         try:
             out = nd.try_polymul32_stacked((llo, lhi), (rlo, rhi), plans)
         finally:
-            os.environ["CONCRETE_NTT_TPU_PRESPLIT"] = "0"
+            os.environ.pop("CONCRETE_NTT_TPU_PRESPLIT", None)
         assert out is not None
         lo, hi = crt.rec_u64_from5([out[i] for i in range(len(primes))], primes)
         return ((lo, hi), (llo, lhi))
