@@ -85,21 +85,20 @@ def _presplit_wanted() -> bool:
     VPU digit split (~0.33 µs/poly at n=2^14, serialized against the MXU)
     into the HBM-bound pointwise chain at equal HBM bytes.
 
-    CONCRETE_NTT_TPU_PRESPLIT=1 forces on, =0 forces off (the A/B legs of
-    tools/ab_headline.py). Default 'auto' follows the hybrid/smallb marker
-    discipline: on under interpret/CPU (no Mosaic in the loop), on real TPU
-    only once an all-PASS tools/tpu_parity.py run — which checks the
-    presplit kernel shapes — has attested THIS kernel tree."""
+    MEASURED AMBIGUOUS → OFF in 'auto' (round 5). Three interleaved
+    same-process A/Bs on hardware disagreed: +2.8% (min-of-reps, the first
+    clean post-parity process — matching the 0.33 µs VPU-split model),
+    then −18% and −8% (median) in two later processes that also produced
+    physically impossible readings (3.5 µs full polymuls), i.e. evening
+    tunnel congestion. With no robust win, 'auto' keeps the widely-measured
+    in-kernel-split composition; CONCRETE_NTT_TPU_PRESPLIT=1 forces the
+    presplit tier on (parity-covered, bit-identical), =0 forces off.
+    Logs: benches/logs_r05/ab_headline_presplit.log, ab_presplit_tiebreak.log;
+    docs/MXU_ENGINE.md §5d."""
     env = os.environ.get("CONCRETE_NTT_TPU_PRESPLIT", "auto")
     if env == "1":
         return True
-    if env == "0":
-        return False
-    from .pallas_env import interpret_mode, marker_valid, presplit_hw_verified_marker
-
-    if interpret_mode() or not _on_tpu():
-        return True
-    return marker_valid(presplit_hw_verified_marker())
+    return False
 
 
 def _hybrid32_multi_wanted(n, plans) -> bool:
